@@ -1,0 +1,26 @@
+"""scgrhc — a TPU-native (JAX/XLA/Pallas/pjit) framework for SCG→RHC waveform
+synthesis, built from scratch with the capabilities of the reference
+``jwang6174/scg-rhc-waveform`` pipeline (see /root/repo/SURVEY.md).
+
+Subpackages
+-----------
+core      config (params.json), paths, timestamped logging
+io        WFDB record reader/writer (pure NumPy + optional C++ decoder),
+          sidecar JSON chamber-interval parsing, record catalog
+ops       functional TPU ops (conv1d, instance norm, pooling, dropout)
+          + Pallas kernels for the hot DSP paths
+dsp       noise/artifact gate, sliding-window segmentation
+data      segment store (padded device arrays + metadata), seeded splits,
+          batching loaders, reference-pickle read shim
+models    attention U-Net generator + PatchGAN critic as pure-fn pytrees
+train     WGAN-GP training step (jit, second-order gradient penalty),
+          optax Adam, checkpointing with reference-layout shim
+eval      vmapped batched inference + on-device Pearson/RMSE with CIs
+select    checkpoint scoring / best-checkpoint selection
+parallel  device mesh, data-parallel training, time-sharded (context
+          parallel) full-record streaming inference, experiment sweeps
+pipeline  end-to-end stage orchestrator (CLI-compatible with the reference)
+utils     synthetic WFDB record generation, plotting
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,29 @@
+"""CLI entry point: ``python -m scgrhc <dir_name|all>`` runs the full
+experiment pipeline, mirroring the reference's
+``python waveform_pipeline.py <dir_name|all>`` (reference:
+waveform_pipeline.py:31-40).  Subcommands expose the individual stages."""
+
+from __future__ import annotations
+
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(
+            "usage: scgrhc <dir_name|all>            run full pipeline\n"
+            "       scgrhc data <dir_name>           build segment store/loaders\n"
+            "       scgrhc train <dir_name>          train WGAN-GP\n"
+            "       scgrhc test <dir_name> <split> <ckpt|all|last>\n"
+            "       scgrhc select <dir_name>         score/select checkpoints\n"
+            "       scgrhc summary                   cohort statistics report"
+        )
+        return 0
+    from scgrhc.pipeline.run import dispatch
+
+    return dispatch(argv)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,102 @@
+"""Experiment configuration.
+
+Reads the same per-experiment ``params.json`` files the reference uses
+(reference: paramutil.py:5-33), so all 37 ``waveform_NN`` configs run
+unchanged.  Required keys match the reference exactly; a missing key raises
+``KeyError`` just like the reference (which is why the legacy
+``waveform_01..05`` schema fails to load there too).
+
+Additions over the reference (all optional, defaulted):
+  * ``seed``          — deterministic RNG seed for splits / init / dropout.
+                        The reference's train/valid/test split is unseeded
+                        (reference: recordutil.py:191-192); ours is seeded so
+                        experiments are reproducible.
+  * ``dtype``         — compute dtype for the model ("float32" | "bfloat16").
+  * ``eval_batch``    — batch size for vmapped evaluation (reference
+                        evaluates segment-by-segment at batch 1,
+                        waveform_test.py:58-67; we batch on the MXU).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+
+class Params:
+    """Typed view over one experiment's ``params.json``.
+
+    Attribute surface mirrors the reference's ``paramutil.Params``
+    (reference: paramutil.py:6-29): every path key is joined onto
+    ``dir_path``.
+    """
+
+    REQUIRED_KEYS = (
+        "in_channels",
+        "chamber",
+        "segment_size",
+        "batch_size",
+        "dir_path",
+        "train_path",
+        "valid_path",
+        "test_path",
+        "checkpoint_dir_path",
+        "comparison_dir_path",
+        "pred_top_dir_path",
+        "pred_rand_dir_path",
+        "alpha",
+        "beta1",
+        "beta2",
+        "n_critic",
+        "lambda_gp",
+        "lambda_aux",
+        "total_epochs",
+        "min_RHC",
+        "use_global_min_max",
+    )
+
+    def __init__(self, path: str):
+        self.path = path
+        self.data = self.init_json(path)
+        d = self.data
+        self.in_channels = d["in_channels"]
+        self.chamber = d["chamber"]
+        self.segment_size = d["segment_size"]
+        self.batch_size = d["batch_size"]
+        self.dir_path = d["dir_path"]
+        self.train_path = os.path.join(self.dir_path, d["train_path"])
+        self.valid_path = os.path.join(self.dir_path, d["valid_path"])
+        self.test_path = os.path.join(self.dir_path, d["test_path"])
+        self.checkpoint_dir_path = os.path.join(self.dir_path, d["checkpoint_dir_path"])
+        self.comparison_dir_path = os.path.join(self.dir_path, d["comparison_dir_path"])
+        self.pred_top_dir_path = os.path.join(self.dir_path, d["pred_top_dir_path"])
+        self.pred_rand_dir_path = os.path.join(self.dir_path, d["pred_rand_dir_path"])
+        self.alpha = d["alpha"]
+        self.beta1 = d["beta1"]
+        self.beta2 = d["beta2"]
+        self.n_critic = d["n_critic"]
+        self.lambda_gp = d["lambda_gp"]
+        self.lambda_aux = d["lambda_aux"]
+        self.total_epochs = d["total_epochs"]
+        self.min_RHC = d["min_RHC"]
+        self.use_global_min_max = d["use_global_min_max"]
+        # --- scgrhc extensions (optional, defaulted) ---
+        self.seed = d.get("seed", 0)
+        self.dtype = d.get("dtype", "float32")
+        self.eval_batch = d.get("eval_batch", 256)
+
+    @staticmethod
+    def init_json(path: str) -> dict[str, Any]:
+        with open(path, "r") as f:
+            return json.load(f)
+
+    @property
+    def segment_samples(self) -> int:
+        """Segment length in samples (segment_size seconds x 500 Hz)."""
+        from scgrhc.io.catalog import SAMPLE_FREQ
+
+        return int(self.segment_size * SAMPLE_FREQ)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Params({self.path!r})"

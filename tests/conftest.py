@@ -1,0 +1,35 @@
+"""Test configuration: force an 8-virtual-device CPU platform so sharding /
+multi-chip paths run in CI without TPUs (SURVEY.md §4), and provide a
+synthetic database fixture standing in for the reference's hard-coded
+dataset path (reference: pathutil.py:4-6)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def synth_db(tmp_path_factory):
+    """Session-scoped synthetic database; returns its processed_data dir."""
+    from scgrhc.utils.synth import make_synthetic_database
+
+    root = tmp_path_factory.mktemp("scgdb")
+    return make_synthetic_database(str(root), n_records=2, duration_s=120.0)
+
+
+@pytest.fixture()
+def use_synth_db(synth_db, monkeypatch):
+    """Point scgrhc.core.paths at the synthetic database for one test."""
+    from scgrhc.core import paths
+
+    root = os.path.dirname(synth_db)
+    monkeypatch.setattr(paths, "DATA_PATH", root)
+    monkeypatch.setattr(paths, "PROCESSED_DATA_PATH", synth_db)
+    return synth_db

@@ -1,0 +1,85 @@
+"""Config / paths / timelog unit tests (reference parity: paramutil.py,
+pathutil.py, timelog.py)."""
+
+import json
+import re
+import time
+
+import pytest
+
+from scgrhc.core.params import Params
+from scgrhc.core.timelog import timelog
+
+MODERN_CONFIG = {
+    "dir_path": "waveform_06",
+    "in_channels": ["patch_ACC_lat", "patch_ACC_hf", "patch_ACC_dv"],
+    "chamber": "PA",
+    "segment_size": 1.5,
+    "batch_size": 64,
+    "train_path": "loader_train.pickle",
+    "valid_path": "loader_valid.pickle",
+    "test_path": "loader_test.pickle",
+    "checkpoint_dir_path": "checkpoints",
+    "comparison_dir_path": "comparisons",
+    "pred_top_dir_path": "pred_top",
+    "pred_rand_dir_path": "pred_rand",
+    "alpha": 0.0001,
+    "beta1": 0.5,
+    "beta2": 0.999,
+    "n_critic": 2,
+    "lambda_gp": 10,
+    "lambda_aux": 100,
+    "total_epochs": 250,
+    "min_RHC": -50,
+    "use_global_min_max": False,
+}
+
+
+def write_params(tmp_path, cfg):
+    p = tmp_path / "params.json"
+    p.write_text(json.dumps(cfg))
+    return str(p)
+
+
+def test_params_loads_modern_schema(tmp_path):
+    params = Params(write_params(tmp_path, MODERN_CONFIG))
+    assert params.chamber == "PA"
+    assert params.in_channels == ["patch_ACC_lat", "patch_ACC_hf", "patch_ACC_dv"]
+    assert params.train_path == "waveform_06/loader_train.pickle"
+    assert params.checkpoint_dir_path == "waveform_06/checkpoints"
+    assert params.segment_samples == 750  # 1.5 s * 500 Hz
+    assert params.seed == 0  # scgrhc extension default
+
+
+def test_params_rejects_legacy_schema(tmp_path):
+    """Legacy waveform_01-05 configs lack 'chamber' and must raise KeyError,
+    matching the reference (paramutil.py:10, SURVEY.md C18)."""
+    legacy = {k: v for k, v in MODERN_CONFIG.items() if k != "chamber"}
+    with pytest.raises(KeyError):
+        Params(write_params(tmp_path, legacy))
+
+
+def test_params_reads_all_reference_configs():
+    """All 37 reference params.json files: 06-37 load, legacy 01-05 raise the
+    same KeyError the reference raises."""
+    import os
+
+    ref = "/root/reference"
+    if not os.path.isdir(ref):
+        pytest.skip("reference not mounted")
+    ok, bad = 0, 0
+    for i in range(1, 38):
+        path = os.path.join(ref, f"waveform_{i:02d}", "params.json")
+        try:
+            Params(path)
+            ok += 1
+        except KeyError:
+            bad += 1
+            assert i <= 5, f"modern config waveform_{i:02d} failed to load"
+    assert ok >= 32 and ok + bad == 37
+
+
+def test_timelog_format():
+    start = time.time() - 3723  # 1h 2m 3s ago
+    line = timelog("hello", start)
+    assert re.search(r"\| 01:02:0[34] \| hello$", line)

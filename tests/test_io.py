@@ -1,0 +1,74 @@
+"""WFDB reader/writer, sidecar interval, and catalog tests (reference
+parity: recordutil.py:82-119)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from scgrhc.io.catalog import SAMPLE_FREQ, get_channels, get_record_names, read_record
+from scgrhc.io.sidecar import chamber_intervals_from_sidecar, get_chamber_intervals
+from scgrhc.io.wfdb import rdrecord, wrrecord
+
+
+def test_wfdb_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    sig = rng.uniform(-5, 5, size=(1000, 3))
+    path = str(tmp_path / "rec0")
+    wrrecord(path, fs=500, sig_names=["a", "b", "c"], p_signal=sig, gain=1000.0)
+    rec = rdrecord(path)
+    assert rec.sig_name == ["a", "b", "c"]
+    assert rec.fs == 500
+    assert rec.p_signal.shape == (1000, 3)
+    # Quantization through the int16 ADC model: error bounded by 1/(2*gain).
+    assert np.max(np.abs(rec.p_signal - sig)) <= 0.5 / 1000.0 + 1e-12
+
+
+def test_wfdb_format_212(tmp_path):
+    """Hand-packed 12-bit pairs decode correctly, incl. negative values."""
+    samples = np.array([100, -5, 2047, -2048], dtype=np.int32)  # 2 frames, 2 sig
+    def pack(a, b):
+        a &= 0xFFF
+        b &= 0xFFF
+        return [a & 0xFF, ((a >> 8) & 0x0F) | (((b >> 8) & 0x0F) << 4), b & 0xFF]
+
+    raw = bytes(pack(100, -5) + pack(2047, -2048))
+    (tmp_path / "r212.dat").write_bytes(raw)
+    (tmp_path / "r212.hea").write_text(
+        "r212 2 500 2\nr212.dat 212 1(0)/mV 12 0 0 0 0 s0\nr212.dat 212 1(0)/mV 12 0 0 0 0 s1\n"
+    )
+    rec = rdrecord(str(tmp_path / "r212"))
+    np.testing.assert_array_equal(rec.p_signal.reshape(-1), samples.astype(float))
+
+
+def test_chamber_intervals_semantics():
+    """Interval = (event, next event of ANY chamber), END appended from Mac
+    times, label prefix match (reference: recordutil.py:93-110)."""
+    sidecar = {
+        "MacStTime": "x 08:00:00",
+        "MacEndTime": "x 08:01:40",  # 100 s session
+        "ChamEvents_in_s": {"PA_entry": 10.0, "RV_entry": 40.0, "PA_again": 60.0},
+    }
+    ivs = chamber_intervals_from_sidecar(sidecar, "PA", 500)
+    assert ivs == [(5000, 20000), (30000, 50000)]
+    assert chamber_intervals_from_sidecar(sidecar, "RV", 500) == [(20000, 30000)]
+    # Non-dict ChamEvents → no intervals (reference: recordutil.py:103).
+    assert chamber_intervals_from_sidecar(
+        {**sidecar, "ChamEvents_in_s": "missing"}, "PA", 500
+    ) == []
+
+
+def test_catalog_on_synth_db(use_synth_db):
+    names = get_record_names()
+    assert names == ["SYN000", "SYN001"]
+    rec = read_record("SYN000")
+    assert rec.fs == SAMPLE_FREQ
+    assert "RHC_pressure" in rec.sig_name
+    ivs = get_chamber_intervals("SYN000", "PA")
+    assert len(ivs) == 1 and ivs[0][0] == 0
+    scg = get_channels(rec, ["patch_ACC_lat", "patch_ACC_dv"], 0, 1000)
+    assert scg.shape == (1000, 2)
+    # Channel slicing respects requested order.
+    lat = get_channels(rec, ["patch_ACC_lat"], 0, 1000)
+    np.testing.assert_array_equal(scg[:, 0], lat[:, 0])
