@@ -1,0 +1,126 @@
+"""1-D attention U-Net generator (SCG channels → RHC pressure waveform).
+
+Functional/pytree re-design of the reference generator (reference:
+waveform_train.py:67-195): encoder 64→128→256, bottleneck 512, decoder with
+attention-gated skip concatenation, ConvTranspose upsampling (k3 s1, L→L+2),
+MaxPool downsampling (k3 s1 ceil, L→L-2), dropout 0.3 after every pool/up,
+and a final 1x1 conv to one channel.
+
+Quirk parity, reproduced deliberately:
+  * ``pad_size(A, B)``'s shorter-branch pads **B** and returns it instead of
+    A (reference: waveform_train.py:165-173).  For the pipeline's static
+    750-sample segments every branch is dead (lengths reconcile exactly:
+    750→748→746→744→746→748→750), but we keep identical semantics — the
+    branch is resolved at trace time since shapes are static under jit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from scgrhc.models import attention
+from scgrhc.ops.nn import (
+    conv1d,
+    conv_init,
+    conv_transpose1d,
+    dropout,
+    instance_norm,
+    max_pool1d_k3s1,
+    relu,
+)
+
+DROPOUT_RATE = 0.3  # reference: waveform_train.py:117
+
+# (name, in, out) for the double-conv blocks, in forward order.
+_BLOCKS = (
+    ("enc1", None, 64),  # in filled from in_channels at init
+    ("enc2", 64, 128),
+    ("enc3", 128, 256),
+    ("bottleneck", 256, 512),
+    ("dec3", 512, 256),
+    ("dec2", 256, 128),
+    ("dec1", 128, 64),
+)
+
+
+def _conv_block_init(rng, in_ch: int, out_ch: int):
+    r1, r2 = jax.random.split(rng)
+    return {
+        "conv1": conv_init(r1, out_ch, in_ch, 3),
+        "conv2": conv_init(r2, out_ch, out_ch, 3),
+    }
+
+
+def _conv_block_apply(p, x):
+    """2 × (conv k3 s1 p1 → instance norm → relu)
+    (reference: waveform_train.py:119-141)."""
+    x = relu(instance_norm(conv1d(x, p["conv1"]["w"], p["conv1"]["b"], padding=1)))
+    x = relu(instance_norm(conv1d(x, p["conv2"]["w"], p["conv2"]["b"], padding=1)))
+    return x
+
+
+def init(rng, in_channels: int):
+    keys = jax.random.split(rng, 11)
+    params = {}
+    for key, (name, cin, cout) in zip(keys[:7], _BLOCKS):
+        params[name] = _conv_block_init(key, in_channels if cin is None else cin, cout)
+    params["att3"] = attention.init(keys[7], 256, 256, 128)
+    params["att2"] = attention.init(keys[8], 128, 128, 64)
+    params["att1"] = attention.init(keys[9], 64, 64, 32)
+    k_up3, k_up2, k_up1, k_final = jax.random.split(keys[10], 4)
+    params["up3"] = conv_init(k_up3, 256, 512, 3, transpose=True)
+    params["up2"] = conv_init(k_up2, 128, 256, 3, transpose=True)
+    params["up1"] = conv_init(k_up1, 64, 128, 3, transpose=True)
+    params["final"] = conv_init(k_final, 1, 64, 1)
+    return params
+
+
+def _pad_size(a, b):
+    """Reference size-reconciler incl. its shorter-branch quirk
+    (waveform_train.py:165-173); static under jit."""
+    la, lb = a.shape[-1], b.shape[-1]
+    if la > lb:
+        return a[..., :lb]
+    elif la < lb:
+        return jnp.pad(b, ((0, 0), (0, 0), (0, lb - la)))
+    return a
+
+
+def apply(params, x, rng=None, train: bool = False, dtype=jnp.float32):
+    """Forward pass (reference: waveform_train.py:175-195).
+
+    x: (N, C, T) SCG → (N, 1, T) predicted (normalized) RHC.
+    ``rng`` is required when ``train`` (dropout); ignored otherwise.
+    """
+    if train:
+        drops = jax.random.split(rng, 6)
+    else:
+        drops = [None] * 6
+    drop = partial(dropout, rate=DROPOUT_RATE, train=train)
+    x = x.astype(dtype)
+
+    e1 = _conv_block_apply(params["enc1"], x)
+    e2 = _conv_block_apply(params["enc2"], drop(max_pool1d_k3s1(e1), rng=drops[0]))
+    e3 = _conv_block_apply(params["enc3"], drop(max_pool1d_k3s1(e2), rng=drops[1]))
+    b = _conv_block_apply(params["bottleneck"], drop(max_pool1d_k3s1(e3), rng=drops[2]))
+
+    d3 = _pad_size(drop(conv_transpose1d(b, params["up3"]["w"], params["up3"]["b"]),
+                        rng=drops[3]), e3)
+    a3 = attention.apply(params["att3"], d3, e3)
+    d3 = _conv_block_apply(params["dec3"], jnp.concatenate((d3, a3), axis=1))
+
+    d2 = _pad_size(drop(conv_transpose1d(d3, params["up2"]["w"], params["up2"]["b"]),
+                        rng=drops[4]), e2)
+    a2 = attention.apply(params["att2"], d2, e2)
+    d2 = _conv_block_apply(params["dec2"], jnp.concatenate((d2, a2), axis=1))
+
+    d1 = _pad_size(drop(conv_transpose1d(d2, params["up1"]["w"], params["up1"]["b"]),
+                        rng=drops[5]), e1)
+    a1 = attention.apply(params["att1"], d1, e1)
+    d1 = _conv_block_apply(params["dec1"], jnp.concatenate((d1, a1), axis=1))
+
+    f = conv1d(d1, params["final"]["w"], params["final"]["b"])
+    return _pad_size(f, x)

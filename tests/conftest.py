@@ -5,12 +5,18 @@ dataset path (reference: pathutil.py:4-6)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # override axon/TPU: tests run on CPU mesh
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin's sitecustomize forces jax_platforms=axon,cpu; tests
+# must run on the 8-virtual-device CPU mesh regardless.
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

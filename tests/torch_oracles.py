@@ -1,0 +1,76 @@
+"""Compact torch oracles for numerical parity tests.
+
+These re-derive the reference architecture spec (attention U-Net generator +
+PatchGAN critic, reference: waveform_train.py:16-246) as independent,
+loop-built torch modules.  They exist ONLY as test oracles: our JAX models
+must produce the same outputs when loaded with the same weights.  Module /
+layer naming intentionally matches the reference's state_dict key layout,
+since that layout is the checkpoint-compat spec.
+"""
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+def conv_block(i, o):
+    return nn.Sequential(
+        nn.Conv1d(i, o, 3, padding=1), nn.InstanceNorm1d(o), nn.ReLU(),
+        nn.Conv1d(o, o, 3, padding=1), nn.InstanceNorm1d(o), nn.ReLU(),
+    )
+
+
+class TorchAttention(nn.Module):
+    def __init__(self, f_x, f_g, f_int):
+        super().__init__()
+        self.W_x = nn.Sequential(nn.Conv1d(f_x, f_int, 1), nn.InstanceNorm1d(f_int))
+        self.W_g = nn.Sequential(nn.Conv1d(f_g, f_int, 1), nn.InstanceNorm1d(f_int))
+        self.psi = nn.Sequential(
+            nn.Conv1d(f_int, 1, 1), nn.InstanceNorm1d(1), nn.Sigmoid()
+        )
+
+    def forward(self, g, x):
+        return x * self.psi(F.relu(self.W_g(g) + self.W_x(x)))
+
+
+class TorchGenerator(nn.Module):
+    def __init__(self, in_channels):
+        super().__init__()
+        widths = {"enc1": (in_channels, 64), "enc2": (64, 128), "enc3": (128, 256),
+                  "bottleneck": (256, 512), "dec3": (512, 256), "dec2": (256, 128),
+                  "dec1": (128, 64)}
+        for name, (i, o) in widths.items():
+            setattr(self, name, conv_block(i, o))
+        for lvl, f in ((3, 256), (2, 128), (1, 64)):
+            setattr(self, f"att{lvl}", TorchAttention(f, f, f // 2))
+            setattr(self, f"up{lvl}", nn.ConvTranspose1d(f * 2, f, 3))
+        self.final = nn.Conv1d(64, 1, 1)
+        self.dropout = nn.Dropout(0.3)
+
+    def forward(self, x):
+        pool = lambda t: F.max_pool1d(t, 3, stride=1, ceil_mode=True)
+        e1 = self.enc1(x)
+        e2 = self.enc2(self.dropout(pool(e1)))
+        e3 = self.enc3(self.dropout(pool(e2)))
+        b = self.bottleneck(self.dropout(pool(e3)))
+        d = b
+        for lvl, e in ((3, e3), (2, e2), (1, e1)):
+            d = self.dropout(getattr(self, f"up{lvl}")(d))
+            a = getattr(self, f"att{lvl}")(d, e)
+            d = getattr(self, f"dec{lvl}")(torch.cat((d, a), dim=1))
+        return self.final(d)
+
+
+class TorchCritic(nn.Module):
+    def __init__(self, in_channels, condition_channels=1, ndf=64):
+        super().__init__()
+        widths = [in_channels + condition_channels, ndf, ndf * 2, ndf * 4, ndf * 8]
+        layers = [nn.Conv1d(widths[0], widths[1], 3, padding=1), nn.ReLU()]
+        for i in (1, 2, 3):
+            layers += [nn.Conv1d(widths[i], widths[i + 1], 3, padding=1),
+                       nn.InstanceNorm1d(widths[i + 1]), nn.ReLU()]
+        layers += [nn.Conv1d(widths[4], 1, 3, padding=1)]
+        self.model = nn.Sequential(*layers)
+
+    def forward(self, x):
+        return self.model(x)
