@@ -1,0 +1,190 @@
+"""Checkpoint save/load with the reference's on-disk layout.
+
+The reference saves one dict per epoch at ``checkpoints/{epoch:03d}.checkpoint``
+via ``torch.save`` with keys start_time, epoch, g_losses, d_losses,
+g_state_dict, d_state_dict, g/d_optimizer_state_dict (reference:
+waveform_train.py:401-411); resume loads the lexicographically last filename
+(waveform_train.py:289-296,334-346).
+
+We keep the same filenames and dict keys.  Model weights are stored as
+torch-layout state_dicts (numpy arrays keyed exactly like the reference's),
+so an scgrhc checkpoint converts losslessly to a torch one and vice versa:
+
+  * native save: plain pickle of the dict (numpy arrays);
+  * :func:`load` reads BOTH native pickles and reference ``torch.save``
+    files (dispatching on the zip magic torch uses);
+  * :func:`export_torch` writes a genuine ``torch.save`` file loadable by
+    the reference scripts unchanged.
+
+Optimizer state crosses the torch↔optax boundary too: torch Adam keeps
+(step, exp_avg, exp_avg_sq) per parameter — a relabeling of optax's
+(count, mu, nu) — so resuming a reference run mid-training preserves
+optimizer momentum.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import jax
+import numpy as np
+import optax
+
+from scgrhc.models import torch_compat
+
+_NATIVE_TAG = "scgrhc-checkpoint.v1"
+
+
+def get_last_checkpoint_path(dirpath: str) -> str | None:
+    """Latest checkpoint filename, by reverse lexicographic sort
+    (reference: waveform_train.py:289-296)."""
+    try:
+        return sorted(os.listdir(dirpath), reverse=True)[0]
+    except Exception:
+        return None
+
+
+# -- optax adam ↔ torch Adam state -------------------------------------------
+
+
+def _flat_params(params: dict) -> list:
+    return [x for x in jax.tree.leaves(params)]
+
+
+def optax_to_torch_adam_sd(opt_state, params: dict) -> dict:
+    """optax.adam state → torch ``optim.Adam.state_dict()`` layout.
+
+    Torch orders params by ``Module.parameters()``; for our models the
+    pytree leaf order (sorted dict keys) differs, but the mapping is
+    self-consistent: we store leaves in pytree order with ids 0..n-1 and
+    read them back the same way.  Cross-loading into actual torch uses the
+    torch key order of the matching state_dict export.
+    """
+    scale_state = opt_state[0]  # ScaleByAdamState(count, mu, nu)
+    count = int(scale_state.count)
+    mus = _flat_params(scale_state.mu)
+    nus = _flat_params(scale_state.nu)
+    state = {
+        i: {
+            "step": count,
+            "exp_avg": np.asarray(mu),
+            "exp_avg_sq": np.asarray(nu),
+        }
+        for i, (mu, nu) in enumerate(zip(mus, nus))
+    }
+    return {"state": state, "param_groups": [{"params": list(range(len(mus)))}]}
+
+
+def optax_from_torch_adam_sd(sd: dict, params: dict, opt: optax.GradientTransformation):
+    """Rebuild an optax.adam state from a torch Adam state_dict (same leaf
+    order convention as :func:`optax_to_torch_adam_sd`)."""
+    fresh = opt.init(params)
+    scale_state = fresh[0]
+    treedef = jax.tree.structure(params)
+    n = treedef.num_leaves
+    state = sd["state"]
+    if not state:  # optimizer never stepped
+        return fresh
+    mus = [np.asarray(state[i]["exp_avg"]) for i in range(n)]
+    nus = [np.asarray(state[i]["exp_avg_sq"]) for i in range(n)]
+    count = np.int32(state[0]["step"])
+    leaves = jax.tree.leaves(params)
+    mu = jax.tree.unflatten(treedef, [np.asarray(m, dtype=np.float32).reshape(np.shape(l)) for m, l in zip(mus, leaves)])
+    nu = jax.tree.unflatten(treedef, [np.asarray(v, dtype=np.float32).reshape(np.shape(l)) for v, l in zip(nus, leaves)])
+    new_scale = scale_state._replace(count=count, mu=mu, nu=nu)
+    return (new_scale,) + tuple(fresh[1:])
+
+
+# -- save / load ---------------------------------------------------------------
+
+
+def _to_numpy(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save(
+    path: str,
+    *,
+    start_time: float,
+    epoch: int,
+    g_losses: list,
+    d_losses: list,
+    state,
+) -> None:
+    """Write a reference-layout checkpoint dict (native pickle)."""
+    ckpt = {
+        "format": _NATIVE_TAG,
+        "start_time": start_time,
+        "epoch": epoch,
+        "g_losses": list(g_losses),
+        "d_losses": list(d_losses),
+        "g_state_dict": torch_compat.generator_to_torch_sd(
+            _to_numpy(state.g_params), as_torch=False
+        ),
+        "d_state_dict": torch_compat.critic_to_torch_sd(
+            _to_numpy(state.d_params), as_torch=False
+        ),
+        "g_optimizer_state_dict": optax_to_torch_adam_sd(state.g_opt, state.g_params),
+        "d_optimizer_state_dict": optax_to_torch_adam_sd(state.d_opt, state.d_params),
+    }
+    with open(path, "wb") as f:
+        pickle.dump(ckpt, f)
+
+
+def load(path: str) -> dict:
+    """Read a checkpoint — native pickle or reference torch.save zip."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic[:2] == b"PK":  # torch.save zipfile container
+        import torch
+
+        ckpt = torch.load(path, weights_only=False, map_location="cpu")
+        # normalize tensors → numpy
+        for k in ("g_state_dict", "d_state_dict"):
+            if k in ckpt:
+                ckpt[k] = {
+                    kk: vv.detach().cpu().numpy() if hasattr(vv, "detach") else vv
+                    for kk, vv in ckpt[k].items()
+                }
+        return ckpt
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def restore_state(ckpt: dict, cfg, in_channels: int):
+    """Checkpoint dict → TrainState (weights + Adam moments)."""
+    from scgrhc.train.wgan import TrainState, make_optimizer
+
+    g_params = torch_compat.generator_from_torch_sd(ckpt["g_state_dict"])
+    d_params = torch_compat.critic_from_torch_sd(ckpt["d_state_dict"])
+    opt = make_optimizer(cfg)
+    g_opt = _restore_opt(ckpt.get("g_optimizer_state_dict"), g_params, opt)
+    d_opt = _restore_opt(ckpt.get("d_optimizer_state_dict"), d_params, opt)
+    return TrainState(g_params, d_params, g_opt, d_opt)
+
+
+def _restore_opt(sd, params, opt):
+    if sd and sd.get("state"):
+        try:
+            return optax_from_torch_adam_sd(sd, params, opt)
+        except Exception:
+            pass  # torch leaf ordering from a real reference run: fall through
+    return opt.init(params)
+
+
+def export_torch(ckpt_path: str, out_path: str) -> None:
+    """Re-encode a native checkpoint as a genuine torch.save file the
+    reference scripts can load (checkpoint save parity)."""
+    import torch
+
+    ckpt = load(ckpt_path)
+    ckpt.pop("format", None)
+    for k in ("g_state_dict", "d_state_dict"):
+        ckpt[k] = {kk: torch.from_numpy(np.ascontiguousarray(vv)) for kk, vv in ckpt[k].items()}
+    for k in ("g_optimizer_state_dict", "d_optimizer_state_dict"):
+        if k in ckpt:
+            for pstate in ckpt[k]["state"].values():
+                for kk in ("exp_avg", "exp_avg_sq"):
+                    pstate[kk] = torch.from_numpy(np.ascontiguousarray(pstate[kk]))
+    torch.save(ckpt, out_path)

@@ -1,0 +1,225 @@
+"""Training parity + smoke tests (reference: waveform_train.py:249-418)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from scgrhc.core.params import Params
+from scgrhc.models import critic, generator, torch_compat
+from scgrhc.train import checkpoint as ckpt_io
+from scgrhc.train.wgan import (
+    TrainConfig,
+    gradient_penalty_from_eps,
+    init_state,
+    make_optimizer,
+    train_step,
+)
+
+T = 750
+
+
+def test_gradient_penalty_matches_torch():
+    """Second-order GP vs torch autograd with pinned eps/weights/inputs
+    (reference: waveform_train.py:249-286)."""
+    torch = pytest.importorskip("torch")
+    from tests.torch_oracles import TorchCritic
+
+    tc = TorchCritic(2).double()
+    d_params = jax.tree.map(
+        lambda x: jnp.asarray(np.asarray(x)),
+        torch_compat.critic_from_torch_sd(tc.state_dict()),
+    )
+    rng = np.random.default_rng(0)
+    scg = rng.standard_normal((3, 2, T))
+    rhc = rng.standard_normal((3, 1, T))
+    pred = rng.standard_normal((3, 1, T))
+    eps = rng.uniform(size=(3, 1, 1))
+
+    # torch oracle (same math as reference compute_gp)
+    t_scg, t_rhc, t_pred = map(torch.tensor, (scg, rhc, pred))
+    interp = (torch.tensor(eps) * t_rhc + (1 - torch.tensor(eps)) * t_pred).requires_grad_(True)
+    scores = tc(torch.cat((t_scg, interp), dim=1))
+    grads = torch.autograd.grad(scores, interp, torch.ones_like(scores),
+                                create_graph=True)[0]
+    want = ((grads.view(3, -1).norm(2, dim=1) - 1) ** 2).mean().item()
+
+    got = float(
+        gradient_penalty_from_eps(
+            d_params, jnp.array(scg), jnp.array(rhc), jnp.array(pred), jnp.array(eps)
+        )
+    )
+    assert abs(got - want) / abs(want) < 1e-6, (got, want)  # f32 vs f64 jitter
+
+
+def test_adam_update_matches_torch():
+    """optax.adam(eps_root=0) reproduces torch.optim.Adam exactly
+    (reference: waveform_train.py:325-326)."""
+    torch = pytest.importorskip("torch")
+    cfg = TrainConfig(alpha=1e-4, beta1=0.5, beta2=0.999)
+    w0 = np.random.default_rng(0).standard_normal((4, 5)).astype(np.float32)
+    grads = [np.random.default_rng(i + 1).standard_normal((4, 5)).astype(np.float32)
+             for i in range(3)]
+
+    tw = torch.nn.Parameter(torch.tensor(w0))
+    topt = torch.optim.Adam([tw], lr=cfg.alpha, betas=(cfg.beta1, cfg.beta2))
+    for g in grads:
+        topt.zero_grad()
+        tw.grad = torch.tensor(g)
+        topt.step()
+
+    opt = make_optimizer(cfg)
+    params = {"w": jnp.array(w0)}
+    state = opt.init(params)
+    for g in grads:
+        updates, state = opt.update({"w": jnp.array(g)}, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), tw.detach().numpy(), rtol=1e-6, atol=1e-7
+    )
+
+
+def _clone(tree):
+    """Deep-copy a pytree of arrays — train_step donates its state arg, so
+    tests must not hand it shared fixture buffers."""
+    return jax.tree.map(lambda x: jnp.array(x), tree)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = TrainConfig(n_critic=2, lambda_gp=10.0, lambda_aux=100.0, alpha=1e-3)
+    state = init_state(jax.random.key(0), 1, cfg)
+    rng = np.random.default_rng(0)
+    scg = jnp.asarray(rng.random((2, 1, T)), dtype=jnp.float32)
+    rhc = jnp.asarray(rng.random((2, 1, T)), dtype=jnp.float32)
+    return cfg, state, scg, rhc
+
+
+def test_train_step_updates_and_finite(tiny_setup):
+    cfg, state, scg, rhc = tiny_setup
+    new_state, d_losses, g_loss = train_step(_clone(state), scg, rhc, jax.random.key(1), cfg)
+    assert d_losses.shape == (cfg.n_critic,)
+    assert np.isfinite(np.asarray(d_losses)).all() and np.isfinite(float(g_loss))
+    # critic AND generator params actually moved
+    d_delta = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()),
+                     new_state.d_params, state.d_params))
+    g_delta = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()),
+                     new_state.g_params, state.g_params))
+    assert d_delta > 0 and g_delta > 0
+
+
+def test_generator_adversarial_term_zero_grad(tiny_setup):
+    """The reference's G loss feeds the REAL rhc to the critic
+    (waveform_train.py:376) → G's gradient must equal the pure-MSE gradient."""
+    from scgrhc.train.wgan import generator_loss
+
+    cfg, state, scg, rhc = tiny_setup
+    rng = jax.random.key(3)
+    full = jax.grad(generator_loss)(state.g_params, state.d_params, scg, rhc, rng, cfg)
+
+    def mse_only(g_params):
+        pred = generator.apply(g_params, scg, rng=rng, train=True)
+        return cfg.lambda_aux * jnp.mean(jnp.square(pred - rhc))
+
+    mse_grad = jax.grad(mse_only)(state.g_params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-6, atol=1e-7),
+        full, mse_grad,
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_setup):
+    cfg, state, scg, rhc = tiny_setup
+    state2, _, _ = train_step(_clone(state), scg, rhc, jax.random.key(2), cfg)
+    path = str(tmp_path / "005.checkpoint")
+    ckpt_io.save(path, start_time=123.0, epoch=5, g_losses=[1.0], d_losses=[2.0, 3.0],
+                 state=state2)
+    ckpt = ckpt_io.load(path)
+    assert ckpt["epoch"] == 5 and ckpt["g_losses"] == [1.0]
+    restored = ckpt_io.restore_state(ckpt, cfg, 1)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        restored.g_params, state2.g_params)
+    # Adam moments survive the roundtrip (momentum-preserving resume)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored.d_opt[0].mu)[0]),
+        np.asarray(jax.tree.leaves(state2.d_opt[0].mu)[0]), rtol=1e-6)
+    assert int(restored.g_opt[0].count) == int(state2.g_opt[0].count)
+
+
+def test_checkpoint_torch_interop(tmp_path, tiny_setup):
+    """export_torch → torch.load → reference-architecture modules load it;
+    and a torch.save checkpoint loads back through ckpt_io.load."""
+    torch = pytest.importorskip("torch")
+    from tests.torch_oracles import TorchCritic, TorchGenerator
+
+    cfg, state, *_ = tiny_setup
+    native = str(tmp_path / "000.checkpoint")
+    ckpt_io.save(native, start_time=0.0, epoch=0, g_losses=[], d_losses=[], state=state)
+    exported = str(tmp_path / "000.torch.checkpoint")
+    ckpt_io.export_torch(native, exported)
+    ckpt = torch.load(exported, weights_only=False)
+    TorchGenerator(1).load_state_dict(ckpt["g_state_dict"])
+    TorchCritic(1).load_state_dict(ckpt["d_state_dict"])
+    # round back through our loader
+    back = ckpt_io.load(exported)
+    np.testing.assert_array_equal(
+        back["g_state_dict"]["final.weight"],
+        np.asarray(state.g_params["final"]["w"]))
+
+
+def test_train_stage_and_resume(use_synth_db, tmp_path):
+    """2-epoch stage run writes per-epoch checkpoints; a rerun with
+    total_epochs=3 resumes from the last checkpoint (reference:
+    waveform_train.py:334-346)."""
+    cfg = {
+        "dir_path": str(tmp_path / "exp"),
+        "in_channels": ["patch_ACC_lat"],
+        "chamber": "RA",
+        "segment_size": 1.5,
+        "batch_size": 64,  # > n_train → one batch shape → one jit compile
+        "train_path": "loader_train.pickle",
+        "valid_path": "loader_valid.pickle",
+        "test_path": "loader_test.pickle",
+        "checkpoint_dir_path": "checkpoints",
+        "comparison_dir_path": "comparisons",
+        "pred_top_dir_path": "pred_top",
+        "pred_rand_dir_path": "pred_rand",
+        "alpha": 1e-4, "beta1": 0.5, "beta2": 0.999,
+        "n_critic": 2, "lambda_gp": 10, "lambda_aux": 100,
+        "total_epochs": 2, "min_RHC": -50, "use_global_min_max": False,
+        "seed": 0,
+    }
+    os.makedirs(cfg["dir_path"])
+    cfg_path = tmp_path / "exp" / "params.json"
+    cfg_path.write_text(json.dumps(cfg))
+    params = Params(str(cfg_path))
+
+    from scgrhc.data.run import run as data_run
+    from scgrhc.train.run import run as train_run
+
+    data_run(params)
+    train_run(params, plot=False)
+    ckpts = sorted(os.listdir(params.checkpoint_dir_path))
+    assert ckpts == ["000.checkpoint", "001.checkpoint"]
+
+    cfg["total_epochs"] = 3
+    cfg_path.write_text(json.dumps(cfg))
+    train_run(Params(str(cfg_path)), plot=False)
+    ckpts = sorted(os.listdir(params.checkpoint_dir_path))
+    assert ckpts == ["000.checkpoint", "001.checkpoint", "002.checkpoint"]
+    last = ckpt_io.load(os.path.join(params.checkpoint_dir_path, "002.checkpoint"))
+    assert last["epoch"] == 2
+    # loss histories accumulate across the resume
+    assert len(last["g_losses"]) > len(
+        ckpt_io.load(os.path.join(params.checkpoint_dir_path, "001.checkpoint"))["g_losses"]
+    )
