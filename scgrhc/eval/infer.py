@@ -1,0 +1,75 @@
+"""Batched whole-split inference.
+
+The reference evaluates segment-by-segment at batch size 1 in a Python
+loop on CPU (reference: waveform_test.py:58-67).  TPU-first, the whole
+split lives in HBM as one dense (N, C, T) array and a single jitted
+program runs the generator over fixed-size chunks (pad-to-static so one
+compile serves every chunk), denormalizes with the per-segment RHC
+min/max, and scores everything on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scgrhc.eval import metrics
+from scgrhc.models import generator
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _chunk_scores(g_params, scg, rhc, mm_rhc, n: int):
+    """One chunk: forward → denorm → metrics.  scg (B, C, T), rhc (B, 1, T),
+    mm_rhc (B, 2).  Denormalization matches waveform_test.py:21-25,64-67."""
+    pred = generator.apply(g_params, scg, train=False)
+    lo = mm_rhc[:, :1].astype(jnp.float32)
+    span = (mm_rhc[:, 1:] - mm_rhc[:, :1]).astype(jnp.float32)
+    x = rhc[:, 0, :] * span + lo  # real, denormalized
+    y = pred[:, 0, :] * span + lo  # predicted, denormalized
+    return x, y, metrics.segment_scores(x, y)
+
+
+def predict_split(g_params, store, batch: int = 256, sharding=None):
+    """Run the generator over every segment of a store.
+
+    Returns (real (N, T), pred (N, T) — both denormalized float32 numpy —
+    and a dict of (N,) metric arrays).  ``sharding``, when given, places
+    each chunk across a device mesh (batch-dim data parallelism) so eval
+    scales over chips.
+    """
+    scg_d, rhc_d = store.device_arrays()
+    n = len(store)
+    mm = jnp.asarray(store.minmax_rhc)
+    batch = max(1, min(batch, n))
+
+    xs, ys, scores = [], [], []
+    for s in range(0, n, batch):
+        e = min(s + batch, n)
+        pad = batch - (e - s)
+        scg = scg_d[s:e]
+        rhc = rhc_d[s:e]
+        mm_c = mm[s:e]
+        if pad:  # pad-to-static: one compiled program for every chunk
+            scg = jnp.pad(scg, ((0, pad), (0, 0), (0, 0)))
+            rhc = jnp.pad(rhc, ((0, pad), (0, 0), (0, 0)))
+            mm_c = jnp.pad(mm_c, ((0, pad), (0, 0)), constant_values=(0.0, 1.0))
+        if sharding is not None:
+            scg = jax.device_put(scg, sharding)
+            rhc = jax.device_put(rhc, sharding)
+            mm_c = jax.device_put(mm_c, sharding)
+        x, y, sc = _chunk_scores(g_params, scg, rhc, mm_c, batch)
+        keep = e - s
+        xs.append(np.asarray(x[:keep]))
+        ys.append(np.asarray(y[:keep]))
+        scores.append({k: np.asarray(v[:keep]) for k, v in sc.items()})
+
+    real = np.concatenate(xs) if xs else np.zeros((0, store.segment_samples), np.float32)
+    pred = np.concatenate(ys) if ys else np.zeros((0, store.segment_samples), np.float32)
+    merged = {
+        k: np.concatenate([s[k] for s in scores]) if scores else np.zeros(0)
+        for k in (scores[0] if scores else {})
+    }
+    return real, pred, merged

@@ -1,0 +1,126 @@
+"""Evaluation stage (reference parity: waveform_test.py:96-162).
+
+Same observable contract as the reference: resolves the checkpoint list
+('all' → sorted dir truncated to total_epochs / 'last' / explicit), skips
+checkpoints that already have a comparison CSV, and writes per-segment
+rows (full denormalized real/pred waveforms as stringified lists, PCC +
+Fisher-z CI, RMSE + t-CI) sorted by pcc_r descending to
+``comparisons/<split>/<ckpt>.csv``.
+
+The compute path is redesigned: instead of a per-segment batch-1 CPU loop
+(waveform_test.py:58-67), the whole split is scored by batched jitted
+inference on device (see scgrhc.eval.infer).
+"""
+
+from __future__ import annotations
+
+import os
+from time import time
+
+import jax
+import numpy as np
+
+from scgrhc.core.timelog import timelog
+from scgrhc.data.loaders import load_dataloader
+from scgrhc.eval.infer import predict_split
+from scgrhc.models import torch_compat
+from scgrhc.train import checkpoint as ckpt_io
+
+
+def get_processed_checkpoints(comp_dir_path: str) -> frozenset:
+    """Checkpoints already scored in this directory
+    (reference: waveform_test.py:89-93)."""
+    return frozenset(
+        f"{filename.split('.')[0]}.checkpoint"
+        for filename in os.listdir(comp_dir_path)
+    )
+
+
+def get_waveform_comparisons(g_params, loader, batch: int = 256, sharding=None):
+    """Per-segment comparison rows (reference: waveform_test.py:53-85),
+    computed by one batched device program per chunk."""
+    store = loader.dataset
+    real, pred, scores = predict_split(g_params, store, batch=batch, sharding=sharding)
+    comparisons = []
+    for i in range(len(store)):
+        comparisons.append(
+            {
+                "filename": store.record_names[i],
+                "start_idx": int(store.start_idx[i]),
+                "stop_idx": int(store.stop_idx[i]),
+                "real_rhc": str(real[i].tolist()),
+                "pred_rhc": str(pred[i].tolist()),
+                "pcc_r": float(scores["pcc_r"][i]),
+                "pcc_ci95_lower": float(scores["pcc_ci95_lower"][i]),
+                "pcc_ci95_upper": float(scores["pcc_ci95_upper"][i]),
+                "rmse": float(scores["rmse"][i]),
+                "rmse_ci95_lower": float(scores["rmse_ci95_lower"][i]),
+                "rmse_ci95_upper": float(scores["rmse_ci95_upper"][i]),
+            }
+        )
+    return comparisons
+
+
+def run(params, loader_type: str, checkpoint_path: str) -> None:
+    import pandas as pd
+
+    start_time = time()
+    checkpoint_message = f"{checkpoint_path if checkpoint_path else 'last checkpoint'}"
+    print(
+        timelog(
+            f"Run waveform_test for {params.dir_path} | {loader_type} | "
+            f"{checkpoint_message}",
+            start_time,
+        )
+    )
+
+    if loader_type == "train":
+        loader_path = params.train_path
+    elif loader_type == "valid":
+        loader_path = params.valid_path
+    elif loader_type == "test":
+        loader_path = params.test_path
+    else:
+        raise Exception("Invalid loader type")
+
+    loader = load_dataloader(loader_path)
+
+    if checkpoint_path == "all":
+        checkpoint_paths = sorted(os.listdir(params.checkpoint_dir_path))[
+            : params.total_epochs
+        ]
+    elif checkpoint_path == "last":
+        checkpoint_paths = [
+            ckpt_io.get_last_checkpoint_path(params.checkpoint_dir_path)
+        ]
+    else:
+        checkpoint_paths = [checkpoint_path]
+
+    comp_dir_path = os.path.join(params.comparison_dir_path, loader_type)
+    os.makedirs(comp_dir_path, exist_ok=True)
+    processed_checkpoints = get_processed_checkpoints(comp_dir_path)
+
+    for i, ckpt_name in enumerate(checkpoint_paths):
+        print(
+            timelog(
+                f"waveform_test | {params.dir_path} | {loader_type} | "
+                f"{checkpoint_message} | {i}/{len(checkpoint_paths)}",
+                start_time,
+            )
+        )
+        if ckpt_name in processed_checkpoints:
+            continue
+
+        ckpt = ckpt_io.load(os.path.join(params.checkpoint_dir_path, ckpt_name))
+        g_params = jax.tree.map(
+            np.asarray, torch_compat.generator_from_torch_sd(ckpt["g_state_dict"])
+        )
+
+        comparisons = get_waveform_comparisons(
+            g_params, loader, batch=params.eval_batch
+        )
+        comparisons.sort(key=lambda c: c["pcc_r"], reverse=True)
+
+        checkpoint_str = ckpt_name.split(".")[0]
+        comparison_path = os.path.join(comp_dir_path, f"{checkpoint_str}.csv")
+        pd.DataFrame(comparisons).to_csv(comparison_path, index=False)

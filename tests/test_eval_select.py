@@ -1,0 +1,206 @@
+"""Evaluation + checkpoint-selection tests (reference: waveform_test.py,
+waveform_checkpoint.py)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from scgrhc.core.params import Params
+from scgrhc.data.loaders import SegmentLoader
+from scgrhc.data.store import SegmentStore
+from scgrhc.eval import metrics
+from scgrhc.eval.infer import predict_split
+from scgrhc.train import checkpoint as ckpt_io
+from scgrhc.train.wgan import TrainConfig, init_state
+
+T = 750
+
+
+# -- metric formula parity vs scipy -------------------------------------------
+
+
+def test_pearson_matches_scipy():
+    from scipy.stats import pearsonr
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, T)).astype(np.float32)
+    y = (0.5 * x + rng.standard_normal((4, T))).astype(np.float32)
+    r = np.asarray(metrics.pearson_r(jnp.array(x), jnp.array(y)))
+    lo, hi = metrics.pearson_ci95(jnp.array(r), T)
+    for i in range(4):
+        res = pearsonr(x[i], y[i])
+        ci = res.confidence_interval(confidence_level=0.95)
+        assert abs(r[i] - res.statistic) < 1e-5
+        assert abs(float(lo[i]) - ci.low) < 1e-5
+        assert abs(float(hi[i]) - ci.high) < 1e-5
+
+
+def test_rmse_ci_matches_reference_formula():
+    from scipy.stats import t as t_dist
+    from sklearn.metrics import mean_squared_error
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(T)
+    y = rng.standard_normal(T)
+    e = float(metrics.rmse(jnp.array(x, dtype=jnp.float32), jnp.array(y, dtype=jnp.float32)))
+    lo, hi = metrics.rmse_ci95(jnp.array(e), T)
+    want = np.sqrt(mean_squared_error(x, y))
+    se = np.sqrt(want / (2 * T))
+    tc = t_dist.ppf(0.975, df=T - 1)
+    assert abs(e - want) < 1e-5
+    assert abs(float(lo) - (want - tc * se)) < 1e-5
+    assert abs(float(hi) - (want + tc * se)) < 1e-5
+
+
+def test_global_scores_matches_scipy():
+    from scipy.stats import pearsonr
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(3000)
+    y = 0.3 * x + rng.standard_normal(3000)
+    got = metrics.global_scores(x, y)
+    res = pearsonr(x, y)
+    ci = res.confidence_interval(confidence_level=0.95)
+    assert abs(got["pcc_r"] - res.statistic) < 1e-12
+    assert abs(got["pcc_ci95_lower"] - ci.low) < 1e-9
+    assert abs(got["pcc_ci95_upper"] - ci.high) < 1e-9
+
+
+# -- batched inference ---------------------------------------------------------
+
+
+def _random_store(n=6, c=2, seed=0):
+    rng = np.random.default_rng(seed)
+    scg = rng.random((n, c, T)).astype(np.float32)
+    rhc = rng.random((n, 1, T)).astype(np.float32)
+    mm = np.stack([np.full(n, -10.0), np.full(n, 40.0)], axis=1)
+    return SegmentStore(
+        scg, rhc, [f"rec{i}" for i in range(n)],
+        np.arange(n, dtype=np.int64), np.arange(n, dtype=np.int64) + T,
+        mm.copy(), mm.copy(), segment_samples=T,
+    )
+
+
+@pytest.fixture(scope="module")
+def g_setup():
+    cfg = TrainConfig()
+    state = init_state(jax.random.key(0), 2, cfg)
+    return cfg, state, _random_store()
+
+
+def test_predict_split_chunking_invariant(g_setup):
+    """Padded chunked inference (batch 4 over N=6) == single-batch result."""
+    _, state, store = g_setup
+    r1, p1, s1 = predict_split(state.g_params, store, batch=6)
+    r2, p2, s2 = predict_split(state.g_params, store, batch=4)
+    np.testing.assert_allclose(r1, r2, atol=1e-5)
+    np.testing.assert_allclose(p1, p2, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(s1["pcc_r"], s2["pcc_r"], rtol=1e-5, atol=1e-6)
+
+
+def test_predict_split_denorm(g_setup):
+    """Real waveform comes back as reverse_minmax of the stored normalized
+    rhc (reference: waveform_test.py:21-25,64)."""
+    _, state, store = g_setup
+    real, _, _ = predict_split(state.g_params, store, batch=6)
+    want = store.rhc[:, 0, :] * (40.0 - (-10.0)) + (-10.0)
+    np.testing.assert_allclose(real, want, rtol=1e-5, atol=1e-5)
+
+
+# -- stage-level: eval CSV + select -------------------------------------------
+
+
+@pytest.fixture()
+def exp_dir(tmp_path, g_setup):
+    """A minimal experiment dir: params.json, 2 checkpoints, valid loader."""
+    cfg, state, store = g_setup
+    d = tmp_path / "exp"
+    os.makedirs(d / "checkpoints")
+    loader_cfg = {
+        "dir_path": str(d),
+        "in_channels": ["a", "b"],
+        "chamber": "PA", "segment_size": 1.5, "batch_size": 4,
+        "train_path": "loader_train.pickle",
+        "valid_path": "loader_valid.pickle",
+        "test_path": "loader_test.pickle",
+        "checkpoint_dir_path": "checkpoints",
+        "comparison_dir_path": "comparisons",
+        "pred_top_dir_path": "pred_top", "pred_rand_dir_path": "pred_rand",
+        "alpha": 1e-4, "beta1": 0.5, "beta2": 0.999, "n_critic": 2,
+        "lambda_gp": 10, "lambda_aux": 100, "total_epochs": 2,
+        "min_RHC": -50, "use_global_min_max": False, "eval_batch": 4,
+    }
+    (d / "params.json").write_text(json.dumps(loader_cfg))
+    SegmentLoader(store, 1, shuffle=False).save(str(d / "loader_valid.pickle"))
+    SegmentLoader(store, 1, shuffle=False).save(str(d / "loader_test.pickle"))
+    for ep in range(2):
+        st = init_state(jax.random.key(ep), 2, cfg)
+        ckpt_io.save(
+            str(d / "checkpoints" / f"{ep:03d}.checkpoint"),
+            start_time=0.0, epoch=ep, g_losses=[], d_losses=[], state=st,
+        )
+    return Params(str(d / "params.json"))
+
+
+def test_eval_stage_writes_reference_csv(exp_dir):
+    import pandas as pd
+
+    from scgrhc.eval import run as eval_run
+
+    eval_run.run(exp_dir, "valid", "all")
+    comp = os.path.join(exp_dir.comparison_dir_path, "valid")
+    assert sorted(os.listdir(comp)) == ["000.csv", "001.csv"]
+    df = pd.read_csv(os.path.join(comp, "000.csv"))
+    assert list(df.columns) == [
+        "filename", "start_idx", "stop_idx", "real_rhc", "pred_rhc",
+        "pcc_r", "pcc_ci95_lower", "pcc_ci95_upper",
+        "rmse", "rmse_ci95_lower", "rmse_ci95_upper",
+    ]
+    assert len(df) == 6
+    # sorted by pcc_r descending (reference: waveform_test.py:148)
+    assert (np.diff(df["pcc_r"].to_numpy()) <= 1e-12).all()
+    # waveforms round-trip through the string format
+    from scgrhc.select.run import get_float_array
+
+    w = get_float_array(df["real_rhc"][0])
+    assert w.shape == (T,)
+    # skip-processed: rerun leaves mtimes unchanged
+    mtime = os.path.getmtime(os.path.join(comp, "000.csv"))
+    eval_run.run(exp_dir, "valid", "all")
+    assert os.path.getmtime(os.path.join(comp, "000.csv")) == mtime
+
+
+def test_select_stage_and_pipeline_handshake(exp_dir):
+    import pandas as pd
+
+    from scgrhc.eval import run as eval_run
+    from scgrhc.select import run as select_run
+
+    eval_run.run(exp_dir, "valid", "all")
+    select_run.run(exp_dir)
+
+    scores = pd.read_csv(os.path.join(exp_dir.dir_path, "checkpoint_scores.csv"))
+    assert list(scores["checkpoint"]) == ["000.checkpoint", "001.checkpoint"]
+
+    # the handshake waveform_pipeline.py:26-27 parses: line 1, token 2
+    with open(os.path.join(exp_dir.dir_path, "checkpoint_best.txt")) as f:
+        best = f.read().splitlines()[0].split()[1]
+    assert best in ("000.checkpoint", "001.checkpoint")
+    assert best == scores.loc[scores["pcc_r"].idxmax()]["checkpoint"]
+
+    # global score parity vs scipy on the CSV-round-tripped data
+    from scipy.stats import pearsonr
+
+    from scgrhc.select.run import get_float_array
+
+    df = pd.read_csv(os.path.join(exp_dir.comparison_dir_path, "valid", "000.csv"))
+    all_real = np.concatenate([get_float_array(s) for s in df["real_rhc"]])
+    all_pred = np.concatenate([get_float_array(s) for s in df["pred_rhc"]])
+    want = pearsonr(all_real, all_pred).statistic
+    got = scores.loc[scores["checkpoint"] == "000.checkpoint", "pcc_r"].item()
+    assert abs(got - want) < 1e-12

@@ -177,10 +177,18 @@ def test_checkpoint_torch_interop(tmp_path, tiny_setup):
         np.asarray(state.g_params["final"]["w"]))
 
 
-def test_train_stage_and_resume(use_synth_db, tmp_path):
+def test_train_stage_and_resume(tmp_path, monkeypatch):
     """2-epoch stage run writes per-epoch checkpoints; a rerun with
     total_epochs=3 resumes from the last checkpoint (reference:
-    waveform_train.py:334-346)."""
+    waveform_train.py:334-346).  Uses a deliberately tiny database (30 s
+    records → ~1 small batch) — the second-order WGAN-GP step is expensive
+    on the CPU test platform."""
+    from scgrhc.core import paths
+    from scgrhc.utils.synth import make_synthetic_database
+
+    db = make_synthetic_database(str(tmp_path / "db"), n_records=2, duration_s=30.0)
+    monkeypatch.setattr(paths, "DATA_PATH", os.path.dirname(db))
+    monkeypatch.setattr(paths, "PROCESSED_DATA_PATH", db)
     cfg = {
         "dir_path": str(tmp_path / "exp"),
         "in_channels": ["patch_ACC_lat"],
