@@ -1,0 +1,59 @@
+"""Device mesh + named-axis sharding helpers.
+
+The reference has no distributed execution at all — its only device logic
+is a cuda-or-cpu pick (reference: waveform_train.py:329-332).  Here every
+layer above this module speaks in named mesh axes:
+
+  * ``data``  — batch/segment dimension (data parallelism; gradient
+    all-reduce rides ICI implicitly through XLA GSPMD);
+  * ``time``  — segment-window dimension of one long record (sequence
+    parallelism for whole-record streaming inference; windows are
+    independent because normalization is per-window, so this sharding is
+    numerically exact).
+
+Multi-host: callers run ``jax.distributed.initialize`` first; the mesh is
+built over ``jax.devices()`` either way, so single-chip, one-host-N-chip,
+and multi-host pods all go through the same code path.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+TIME_AXIS = "time"
+
+
+def make_mesh(n_devices: int | None = None, axis: str = DATA_AXIS) -> Mesh:
+    """1-D mesh over the first ``n_devices`` devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(f"need {n_devices} devices, have {len(devs)}")
+        devs = devs[:n_devices]
+    import numpy as np
+
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str | None = None) -> NamedSharding:
+    """Shard dim 0 (batch/segments) across the mesh; replicate the rest."""
+    return NamedSharding(mesh, P(axis or mesh.axis_names[0]))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """Place arrays with dim 0 sharded across the mesh."""
+    s = batch_sharding(mesh)
+    out = tuple(jax.device_put(a, s) for a in arrays)
+    return out[0] if len(out) == 1 else out
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    s = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)

@@ -1,0 +1,128 @@
+"""Whole-record streaming inference with time-axis (sequence) parallelism.
+
+The reference handles long records only by host-side chopping into
+independent 1.5-s windows before training (reference: recordutil.py:
+122-149) and never runs full-record inference at all.  TPU-native, a
+multi-hour 500 Hz record is framed, normalized, and predicted entirely
+on device in one jitted program, with the window dimension sharded
+across the mesh's ``time`` axis.
+
+Window-sharding is *numerically exact* sequence parallelism here: the
+model normalizes per window (min-max, reference recordutil.py:41-47) and
+InstanceNorm is per-instance, so windows are fully independent — no halo
+exchange is needed (the conv receptive field never crosses a window in
+the reference semantics either).
+
+An optional overlap-and-blend mode predicts overlapping windows and
+cross-fades them — a quality improvement over naive stitching at window
+boundaries (off by default for reference parity).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scgrhc.data.store import NORM_EPS
+from scgrhc.models import generator
+from scgrhc.parallel.mesh import batch_sharding
+
+
+def frame_record(x, t: int, hop: int | None = None):
+    """(C, L) → (N, C, t) windows, hop defaults to t (non-overlapping,
+    truncating the tail — reference: recordutil.py:141-148)."""
+    hop = hop or t
+    c, L = x.shape
+    n = (L - t) // hop + 1 if L >= t else 0
+    starts = jnp.arange(n) * hop
+    idx = starts[:, None] + jnp.arange(t)[None, :]  # (N, t)
+    return x[:, idx].transpose(1, 0, 2)  # (N, C, t)
+
+
+@partial(jax.jit, static_argnames=("t", "hop"))
+def _frame_norm(x, t: int, hop: int | None):
+    """Frame + per-window joint min-max normalization
+    (reference: recordutil.py:41-47 — min/max over the whole (T, C) window)."""
+    w = frame_record(x, t, hop)
+    lo = jnp.min(w, axis=(1, 2), keepdims=True)
+    hi = jnp.max(w, axis=(1, 2), keepdims=True)
+    return ((w - lo) / (hi - lo + NORM_EPS)).astype(jnp.float32)
+
+
+def stream_infer(
+    g_params,
+    record_scg,
+    segment_samples: int = 750,
+    mesh=None,
+    batch: int = 512,
+    overlap: int = 0,
+    rhc_minmax=None,
+):
+    """Predict the RHC waveform for one full record.
+
+    record_scg: (C, L) raw SCG channels.  Returns a (L',) waveform —
+    normalized RHC, or denormalized when ``rhc_minmax=(min, max)`` is
+    given (reference denorm: waveform_test.py:21-25).
+
+    The window dim is padded to a multiple of ``batch`` (one compiled
+    program regardless of record length) and, when ``mesh`` is given,
+    sharded across its first axis so each chunk's windows split over
+    chips.
+    """
+    t = segment_samples
+    hop = t - overlap if overlap else t
+    x = jnp.asarray(record_scg, dtype=jnp.float32)
+    w = _frame_norm(x, t, hop if overlap else None)
+    n = w.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.float32)
+
+    sharding = batch_sharding(mesh) if mesh is not None else None
+    batch = max(1, min(batch, n))
+    preds = []
+    for s in range(0, n, batch):
+        e = min(s + batch, n)
+        chunk = w[s:e]
+        if e - s < batch:
+            chunk = jnp.pad(chunk, ((0, batch - (e - s)), (0, 0), (0, 0)))
+        if sharding is not None:
+            chunk = jax.device_put(chunk, sharding)
+        p = eval_windows(g_params, chunk)
+        preds.append(np.asarray(p[: e - s, 0, :]))
+    pred = np.concatenate(preds)  # (N, t)
+
+    if overlap:
+        out = _blend(pred, hop, t)
+    else:
+        out = pred.reshape(-1)
+    if rhc_minmax is not None:
+        lo, hi = rhc_minmax
+        out = out * (hi - lo) + lo
+    return out
+
+
+@jax.jit
+def eval_windows(g_params, w):
+    return generator.apply(g_params, w, train=False)
+
+
+def _blend(pred: np.ndarray, hop: int, t: int) -> np.ndarray:
+    """Overlap-add with linear cross-fade over the (t - hop) overlap."""
+    n = pred.shape[0]
+    L = hop * (n - 1) + t
+    out = np.zeros(L, dtype=np.float64)
+    wsum = np.zeros(L, dtype=np.float64)
+    ramp = np.ones(t)
+    ov = t - hop
+    if ov > 0:
+        fade = np.linspace(0.0, 1.0, ov, endpoint=False)
+        ramp[:ov] = fade
+        ramp[-ov:] = fade[::-1]
+    for i in range(n):
+        s = i * hop
+        out[s : s + t] += pred[i] * ramp
+        wsum[s : s + t] += ramp
+    return (out / np.maximum(wsum, 1e-12)).astype(np.float32)

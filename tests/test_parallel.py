@@ -1,0 +1,94 @@
+"""Multi-chip paths on the 8-virtual-device CPU mesh (SURVEY.md §2.3-2.4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from scgrhc.models import generator
+from scgrhc.parallel.mesh import batch_sharding, make_mesh, replicate, shard_batch
+from scgrhc.parallel.stream import frame_record, stream_infer
+from scgrhc.train.wgan import TrainConfig, init_state, train_step
+
+T = 96  # short windows: the model is length-polymorphic; CPU tests stay fast
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8)
+
+
+def test_mesh_axes(mesh8):
+    assert mesh8.axis_names == ("data",)
+    assert mesh8.devices.size == 8
+
+
+def test_dp_train_step_matches_single_device(mesh8):
+    """One DP step over 8 chips == the same step unsharded (GSPMD inserts
+    the gradient all-reduce; numerics match to f32 reassociation)."""
+    cfg = TrainConfig(n_critic=1)
+    state = init_state(jax.random.key(0), 1, cfg)
+    rng = np.random.default_rng(0)
+    scg = jnp.asarray(rng.random((8, 1, T)), jnp.float32)
+    rhc = jnp.asarray(rng.random((8, 1, T)), jnp.float32)
+    key = jax.random.key(1)
+
+    def clone(tree):
+        return jax.tree.map(lambda x: jnp.array(x), tree)
+
+    ref_state, ref_d, ref_g = train_step(clone(state), scg, rhc, key, cfg)
+
+    sh_state = replicate(mesh8, clone(state))
+    s_scg, s_rhc = shard_batch(mesh8, scg, rhc)
+    dp_state, dp_d, dp_g = train_step(sh_state, s_scg, s_rhc, key, cfg)
+
+    assert abs(float(dp_g) - float(ref_g)) / max(abs(float(ref_g)), 1.0) < 1e-3
+    np.testing.assert_allclose(np.asarray(dp_d), np.asarray(ref_d), rtol=2e-3)
+    # Adam's first step normalizes to ±lr, so f32 reassociation across
+    # shards moves params by O(lr) at worst; assert within a few lr.
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4
+        ),
+        dp_state.g_params, ref_state.g_params,
+    )
+
+
+def test_frame_record_matches_reference_chopping():
+    """Framing == the reference's non-overlapping window chop
+    (recordutil.py:141-148), truncating the tail."""
+    x = jnp.arange(2 * 10, dtype=jnp.float32).reshape(2, 10)
+    w = frame_record(x, 4)
+    assert w.shape == (2, 2, 4)
+    np.testing.assert_array_equal(np.asarray(w[0, 0]), [0, 1, 2, 3])
+    np.testing.assert_array_equal(np.asarray(w[1, 1]), [14, 15, 16, 17])
+
+
+def test_stream_infer_sharded_equals_local(mesh8):
+    """Window-sharded streaming inference == unsharded (exact sequence
+    parallelism: windows are independent)."""
+    g = init_state(jax.random.key(0), 3, TrainConfig()).g_params
+    rec = jnp.asarray(np.random.default_rng(2).random((3, T * 16)), jnp.float32)
+    local = stream_infer(g, rec, segment_samples=T, batch=16)
+    sharded = stream_infer(g, rec, segment_samples=T, mesh=mesh8, batch=16)
+    assert local.shape == (T * 16,)
+    np.testing.assert_allclose(local, sharded, atol=2e-5)
+
+
+def test_stream_infer_overlap_blend():
+    g = init_state(jax.random.key(0), 1, TrainConfig()).g_params
+    rec = jnp.asarray(np.random.default_rng(3).random((1, T * 4)), jnp.float32)
+    out = stream_infer(g, rec, segment_samples=T, batch=8, overlap=T // 4)
+    assert out.ndim == 1 and np.isfinite(out).all()
+
+
+def test_sharded_eval_forward_matches(mesh8):
+    g = init_state(jax.random.key(0), 2, TrainConfig()).g_params
+    x = jnp.asarray(np.random.default_rng(4).random((16, 2, T)), jnp.float32)
+    fwd = jax.jit(lambda p, a: generator.apply(p, a, train=False))
+    ref = fwd(g, x)
+    out = fwd(replicate(mesh8, g), jax.device_put(x, batch_sharding(mesh8)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
