@@ -106,6 +106,25 @@ def make_synthetic_database(
             "MacEndTime": "01/01/2020 "
             + f"{8 + int(duration_s) // 3600:02d}:{(int(duration_s) % 3600) // 60:02d}:{int(duration_s) % 60:02d}",
             "ChamEvents_in_s": events,
+            # Demographics + maclab measurements, shaped like the clinical
+            # sidecars the cohort summary tool consumes (reference:
+            # summary.py:22-33).  sbp == -1 means "missing" there.
+            "age": int(rng.integers(40, 85)),
+            "gender": "Male" if r % 2 == 0 else "Female",
+            "weight": float(rng.uniform(55, 110)),
+            "height": float(rng.uniform(150, 195)),
+            "sbp": -1 if r == 0 else int(rng.integers(95, 160)),
+            "dbp": int(rng.integers(55, 95)),
+            "NYHAC": int(rng.integers(1, 5)),
+            "Missing_MaclabRHC": False,
+            "fine_alignment": bool(r % 2),
+            "outpatient": True,
+            "maclabMeas": {
+                " PAS": float(rng.uniform(15, 60)),
+                "PAD ": float(rng.uniform(5, 30)),
+                "PAM": float(rng.uniform(10, 40)),
+                "RVS": "n/a" if r == 0 else float(rng.uniform(15, 60)),
+            },
         }
         with open(os.path.join(processed, f"{name}.json"), "w") as f:
             json.dump(sidecar, f)
