@@ -21,6 +21,7 @@ import jax
 import numpy as np
 
 from scgrhc.core.timelog import timelog
+from scgrhc.core.trace import trace
 from scgrhc.data.loaders import load_dataloader
 from scgrhc.eval.infer import predict_split
 from scgrhc.models import torch_compat
@@ -116,9 +117,10 @@ def run(params, loader_type: str, checkpoint_path: str) -> None:
             np.asarray, torch_compat.generator_from_torch_sd(ckpt["g_state_dict"])
         )
 
-        comparisons = get_waveform_comparisons(
-            g_params, loader, batch=params.eval_batch
-        )
+        with trace(f"eval_{loader_type}"):
+            comparisons = get_waveform_comparisons(
+                g_params, loader, batch=params.eval_batch
+            )
         comparisons.sort(key=lambda c: c["pcc_r"], reverse=True)
 
         checkpoint_str = ckpt_name.split(".")[0]

@@ -47,6 +47,29 @@ def dispatch(argv: list[str]) -> int:
 
         summary_main()
         return 0
+    if cmd == "sweep":
+        # scgrhc sweep <root> [--jobs N] [--epochs E] — generate the
+        # 32-config waveform_06..37 matrix under <root> (if absent) and run
+        # every experiment, experiment-parallel across processes.
+        from scgrhc.pipeline.sweep import run_sweep
+        from scgrhc.utils.experiments import write_experiments
+
+        root = argv[1] if len(argv) > 1 and not argv[1].startswith("--") else "."
+        jobs, overrides = 1, {}
+        rest = argv[2:] if root != "." or (len(argv) > 1 and argv[1] == ".") else argv[1:]
+        i = 0
+        while i < len(rest):
+            if rest[i] == "--jobs":
+                jobs = int(rest[i + 1]); i += 2
+            elif rest[i] == "--epochs":
+                overrides["total_epochs"] = int(rest[i + 1]); i += 2
+            elif rest[i] == "--seed":
+                overrides["seed"] = int(rest[i + 1]); i += 2
+            else:
+                raise SystemExit(f"unknown sweep flag {rest[i]}")
+        dirs = write_experiments(root, **overrides)
+        results = run_sweep(dirs, jobs=jobs)
+        return 0 if all(c == 0 for c in results.values()) else 1
     if cmd in ("data", "train", "test", "select"):
         dir_name = argv[1]
         params = Params(os.path.join(dir_name, "params.json"))

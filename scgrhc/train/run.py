@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from scgrhc.core.timelog import timelog
+from scgrhc.core.trace import annotate, trace
 from scgrhc.data.loaders import load_dataloader
 from scgrhc.train import checkpoint as ckpt_io
 from scgrhc.train.wgan import TrainConfig, init_state, train_step
@@ -75,13 +76,27 @@ def run(params, plot: bool = True) -> None:
     rng = jax.random.key((params.seed << 16) ^ 0x5C6)
     n_batches = len(train_loader)
 
+    with trace("train"):
+        _train_loop(
+            params, cfg, state, train_loader, rng, epoch, total_epochs,
+            g_losses, d_losses, g_loss_total, d_loss_total, start_time,
+            n_batches, plot,
+        )
+
+
+def _train_loop(
+    params, cfg, state, train_loader, rng, epoch, total_epochs,
+    g_losses, d_losses, g_loss_total, d_loss_total, start_time, n_batches,
+    plot,
+):
     while epoch < total_epochs:
         train_loader.set_epoch(epoch)
         for i, (scg, rhc) in enumerate(train_loader):
             rng, step_rng = jax.random.split(rng)
-            state, d_step_losses, g_loss = train_step(
-                state, jnp.asarray(scg), jnp.asarray(rhc), step_rng, cfg
-            )
+            with annotate("train_step"):
+                state, d_step_losses, g_loss = train_step(
+                    state, jnp.asarray(scg), jnp.asarray(rhc), step_rng, cfg
+                )
             d_losses.extend(np.asarray(d_step_losses).tolist())
             g_losses.append(float(g_loss))
 

@@ -1,0 +1,73 @@
+"""Sweep config generation, fan-out runner, and tracing hooks."""
+
+import json
+import os
+
+import pytest
+
+from scgrhc.core.params import Params
+from scgrhc.utils.experiments import SWEEP, make_params_dict, write_experiments
+
+
+def test_sweep_matrix_matches_reference_configs():
+    """Generated configs reproduce waveform_06..37 byte-for-byte in content
+    (reference: waveform_NN/params.json)."""
+    ref_root = "/root/reference"
+    if not os.path.isdir(os.path.join(ref_root, "waveform_06")):
+        pytest.skip("reference not mounted")
+    for number, chamber, in_channels in SWEEP:
+        with open(os.path.join(ref_root, f"waveform_{number:02d}", "params.json")) as f:
+            want = json.load(f)
+        got = make_params_dict(number, chamber, in_channels)
+        assert got == want, f"waveform_{number:02d} mismatch"
+
+
+def test_write_experiments_loadable(tmp_path):
+    dirs = write_experiments(str(tmp_path), total_epochs=2, seed=0)
+    assert len(dirs) == 32
+    p = Params(os.path.join(dirs[0], "params.json"))
+    assert p.total_epochs == 2 and p.seed == 0 and p.chamber == "PA"
+
+
+def test_run_sweep_exit_codes(tmp_path, monkeypatch):
+    import scgrhc.pipeline.sweep as sweep
+
+    calls = []
+
+    def fake_proc(dir_path, env_extra=None):
+        calls.append((dir_path, (env_extra or {}).get("TPU_VISIBLE_DEVICES")))
+        return 0 if "bad" not in dir_path else 7
+
+    monkeypatch.setattr(sweep, "run_experiment_process", fake_proc)
+    res = sweep.run_sweep(["a", "bad", "c"], jobs=2, device_ids=[0, 1])
+    assert res == {"a": 0, "bad": 7, "c": 0}
+    devs = dict(calls)
+    assert devs["a"] == "0" and devs["bad"] == "1" and devs["c"] == "0"
+
+
+def test_trace_noop_without_env(monkeypatch):
+    from scgrhc.core import trace as tr
+
+    monkeypatch.delenv(tr.ENV_VAR, raising=False)
+    with tr.trace("x"):
+        pass
+    with tr.annotate("y"):
+        pass
+
+
+def test_trace_writes_profile(tmp_path, monkeypatch):
+    from scgrhc.core import trace as tr
+
+    monkeypatch.setenv(tr.ENV_VAR, str(tmp_path))
+    import jax.numpy as jnp
+
+    with tr.trace("unit"):
+        with tr.annotate("op"):
+            (jnp.ones(8) * 2).block_until_ready()
+    # a trace directory with at least one event file appears
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(tmp_path / "unit")
+        for f in fs
+    ]
+    assert files, "no profiler output written"
