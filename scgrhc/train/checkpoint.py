@@ -46,53 +46,85 @@ def get_last_checkpoint_path(dirpath: str) -> str | None:
 
 
 # -- optax adam ↔ torch Adam state -------------------------------------------
+#
+# torch's Adam state_dict keys params by integer id in Module.parameters()
+# registration order (reference Generator registration: waveform_train.py:
+# 101-117; Critic: waveform_train.py:224-243).  That order equals the
+# state_dict key order, which we enumerate statically below, and the
+# optax mu/nu trees are params-shaped — so the existing state_dict
+# relabelers convert them name-for-name and the id mapping becomes exact.
+# A genuine reference mid-training checkpoint therefore resumes with its
+# Adam moments intact, and our exports load into torch.optim.Adam
+# correctly.
+
+_GEN_PARAM_ORDER = tuple(
+    [
+        f"{blk}.{i}.{wb}"
+        for blk in ("enc1", "enc2", "enc3", "bottleneck", "dec3", "dec2", "dec1")
+        for i in (0, 3)
+        for wb in ("weight", "bias")
+    ]
+    + [
+        f"{att}.{sub}.0.{wb}"
+        for att in ("att3", "att2", "att1")
+        for sub in ("W_x", "W_g", "psi")
+        for wb in ("weight", "bias")
+    ]
+    + [f"{up}.{wb}" for up in ("up3", "up2", "up1") for wb in ("weight", "bias")]
+    + ["final.weight", "final.bias"]
+)
+
+_CRITIC_PARAM_ORDER = tuple(
+    f"model.{i}.{wb}" for i in (0, 2, 5, 8, 11) for wb in ("weight", "bias")
+)
 
 
-def _flat_params(params: dict) -> list:
-    return [x for x in jax.tree.leaves(params)]
+def _interop(kind: str):
+    if kind == "generator":
+        return (
+            _GEN_PARAM_ORDER,
+            torch_compat.generator_to_torch_sd,
+            torch_compat.generator_from_torch_sd,
+        )
+    return (
+        _CRITIC_PARAM_ORDER,
+        torch_compat.critic_to_torch_sd,
+        torch_compat.critic_from_torch_sd,
+    )
 
 
-def optax_to_torch_adam_sd(opt_state, params: dict) -> dict:
-    """optax.adam state → torch ``optim.Adam.state_dict()`` layout.
-
-    Torch orders params by ``Module.parameters()``; for our models the
-    pytree leaf order (sorted dict keys) differs, but the mapping is
-    self-consistent: we store leaves in pytree order with ids 0..n-1 and
-    read them back the same way.  Cross-loading into actual torch uses the
-    torch key order of the matching state_dict export.
-    """
+def optax_to_torch_adam_sd(opt_state, params: dict, kind: str) -> dict:
+    """optax.adam state → torch ``optim.Adam.state_dict()`` layout, with
+    param ids in true torch registration order."""
     scale_state = opt_state[0]  # ScaleByAdamState(count, mu, nu)
     count = int(scale_state.count)
-    mus = _flat_params(scale_state.mu)
-    nus = _flat_params(scale_state.nu)
+    order, to_sd, _ = _interop(kind)
+    mu_sd = to_sd(jax.tree.map(np.asarray, scale_state.mu), as_torch=False)
+    nu_sd = to_sd(jax.tree.map(np.asarray, scale_state.nu), as_torch=False)
     state = {
-        i: {
-            "step": count,
-            "exp_avg": np.asarray(mu),
-            "exp_avg_sq": np.asarray(nu),
-        }
-        for i, (mu, nu) in enumerate(zip(mus, nus))
+        i: {"step": count, "exp_avg": mu_sd[key], "exp_avg_sq": nu_sd[key]}
+        for i, key in enumerate(order)
     }
-    return {"state": state, "param_groups": [{"params": list(range(len(mus)))}]}
+    return {"state": state, "param_groups": [{"params": list(range(len(order)))}]}
 
 
-def optax_from_torch_adam_sd(sd: dict, params: dict, opt: optax.GradientTransformation):
-    """Rebuild an optax.adam state from a torch Adam state_dict (same leaf
-    order convention as :func:`optax_to_torch_adam_sd`)."""
+def optax_from_torch_adam_sd(
+    sd: dict, params: dict, opt: optax.GradientTransformation, kind: str
+):
+    """Rebuild an optax.adam state from a torch Adam state_dict (ours or a
+    genuine reference one — both use torch registration ordering)."""
     fresh = opt.init(params)
     scale_state = fresh[0]
-    treedef = jax.tree.structure(params)
-    n = treedef.num_leaves
     state = sd["state"]
     if not state:  # optimizer never stepped
         return fresh
-    mus = [np.asarray(state[i]["exp_avg"]) for i in range(n)]
-    nus = [np.asarray(state[i]["exp_avg_sq"]) for i in range(n)]
+    order, _, from_sd = _interop(kind)
+    mu_sd = {key: np.asarray(state[i]["exp_avg"]) for i, key in enumerate(order)}
+    nu_sd = {key: np.asarray(state[i]["exp_avg_sq"]) for i, key in enumerate(order)}
     count = np.int32(state[0]["step"])
-    leaves = jax.tree.leaves(params)
-    mu = jax.tree.unflatten(treedef, [np.asarray(m, dtype=np.float32).reshape(np.shape(l)) for m, l in zip(mus, leaves)])
-    nu = jax.tree.unflatten(treedef, [np.asarray(v, dtype=np.float32).reshape(np.shape(l)) for v, l in zip(nus, leaves)])
-    new_scale = scale_state._replace(count=count, mu=mu, nu=nu)
+    new_scale = scale_state._replace(
+        count=count, mu=from_sd(mu_sd), nu=from_sd(nu_sd)
+    )
     return (new_scale,) + tuple(fresh[1:])
 
 
@@ -125,8 +157,12 @@ def save(
         "d_state_dict": torch_compat.critic_to_torch_sd(
             _to_numpy(state.d_params), as_torch=False
         ),
-        "g_optimizer_state_dict": optax_to_torch_adam_sd(state.g_opt, state.g_params),
-        "d_optimizer_state_dict": optax_to_torch_adam_sd(state.d_opt, state.d_params),
+        "g_optimizer_state_dict": optax_to_torch_adam_sd(
+            state.g_opt, state.g_params, "generator"
+        ),
+        "d_optimizer_state_dict": optax_to_torch_adam_sd(
+            state.d_opt, state.d_params, "critic"
+        ),
     }
     with open(path, "wb") as f:
         pickle.dump(ckpt, f)
@@ -159,17 +195,16 @@ def restore_state(ckpt: dict, cfg, in_channels: int):
     g_params = torch_compat.generator_from_torch_sd(ckpt["g_state_dict"])
     d_params = torch_compat.critic_from_torch_sd(ckpt["d_state_dict"])
     opt = make_optimizer(cfg)
-    g_opt = _restore_opt(ckpt.get("g_optimizer_state_dict"), g_params, opt)
-    d_opt = _restore_opt(ckpt.get("d_optimizer_state_dict"), d_params, opt)
+    g_opt = _restore_opt(
+        ckpt.get("g_optimizer_state_dict"), g_params, opt, "generator"
+    )
+    d_opt = _restore_opt(ckpt.get("d_optimizer_state_dict"), d_params, opt, "critic")
     return TrainState(g_params, d_params, g_opt, d_opt)
 
 
-def _restore_opt(sd, params, opt):
+def _restore_opt(sd, params, opt, kind):
     if sd and sd.get("state"):
-        try:
-            return optax_from_torch_adam_sd(sd, params, opt)
-        except Exception:
-            pass  # torch leaf ordering from a real reference run: fall through
+        return optax_from_torch_adam_sd(sd, params, opt, kind)
     return opt.init(params)
 
 

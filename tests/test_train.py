@@ -53,7 +53,9 @@ def test_gradient_penalty_matches_torch():
             d_params, jnp.array(scg), jnp.array(rhc), jnp.array(pred), jnp.array(eps)
         )
     )
-    assert abs(got - want) / abs(want) < 1e-6, (got, want)  # f32 vs f64 jitter
+    # f32 jax vs f64 torch: second-order grads through 5 convs accumulate
+    # reduction-order jitter that varies with XLA's CPU partitioning
+    assert abs(got - want) / abs(want) < 1e-4, (got, want)
 
 
 def test_adam_update_matches_torch():
@@ -175,6 +177,79 @@ def test_checkpoint_torch_interop(tmp_path, tiny_setup):
     np.testing.assert_array_equal(
         back["g_state_dict"]["final.weight"],
         np.asarray(state.g_params["final"]["w"]))
+
+
+def test_resume_from_genuine_torch_checkpoint(tmp_path):
+    """A reference-style torch.save checkpoint (real torch Adam state, torch
+    param-id ordering) restores with Adam moments mapped to the right
+    parameters (reference: waveform_train.py:334-346,401-411)."""
+    torch = pytest.importorskip("torch")
+    from tests.torch_oracles import TorchCritic, TorchGenerator
+
+    g, d = TorchGenerator(1), TorchCritic(1)
+    g_opt = torch.optim.Adam(g.parameters(), lr=1e-4, betas=(0.5, 0.999))
+    d_opt = torch.optim.Adam(d.parameters(), lr=1e-4, betas=(0.5, 0.999))
+    x = torch.rand(2, 1, T)
+    y = torch.rand(2, 1, T)
+    for _ in range(2):  # a couple of real steps → nonzero moments
+        g_opt.zero_grad()
+        torch.nn.functional.mse_loss(g(x), y).backward()
+        g_opt.step()
+        d_opt.zero_grad()
+        d(torch.cat((x, y), dim=1)).mean().backward()
+        d_opt.step()
+
+    path = str(tmp_path / "004.checkpoint")
+    torch.save(
+        {
+            "start_time": 1.0, "epoch": 4, "g_losses": [0.5], "d_losses": [0.1],
+            "g_state_dict": g.state_dict(), "d_state_dict": d.state_dict(),
+            "g_optimizer_state_dict": g_opt.state_dict(),
+            "d_optimizer_state_dict": d_opt.state_dict(),
+        },
+        path,
+    )
+
+    cfg = TrainConfig(alpha=1e-4, beta1=0.5, beta2=0.999)
+    state = ckpt_io.restore_state(ckpt_io.load(path), cfg, 1)
+
+    # spot-check: torch's exp_avg for named params landed on our leaves
+    named = dict(g.named_parameters())
+    torch_state = g_opt.state_dict()["state"]
+    order = list(named)  # registration order == param id order
+    for probe in ("final.weight", "enc1.0.bias", "att3.W_g.0.weight", "up2.weight"):
+        pid = order.index(probe)
+        want = torch_state[pid]["exp_avg"].numpy()
+        mu = state.g_opt[0].mu
+        node = mu
+        if probe == "final.weight":
+            got = node["final"]["w"]
+        elif probe == "enc1.0.bias":
+            got = node["enc1"]["conv1"]["b"]
+        elif probe == "att3.W_g.0.weight":
+            got = node["att3"]["W_g"]["w"]
+        else:
+            got = node["up2"]["w"]
+        np.testing.assert_array_equal(np.asarray(got), want)
+    assert int(state.g_opt[0].count) == 2
+
+    # and training continues from it
+    scg = jnp.asarray(np.random.default_rng(0).random((2, 1, T)), jnp.float32)
+    rhc = jnp.asarray(np.random.default_rng(1).random((2, 1, T)), jnp.float32)
+    new_state, d_l, g_l = train_step(state, scg, rhc, jax.random.key(0), cfg)
+    assert np.isfinite(float(g_l))
+
+    # our export round-trips into a real torch.optim.Adam
+    native = str(tmp_path / "005.checkpoint")
+    ckpt_io.save(native, start_time=0.0, epoch=5, g_losses=[], d_losses=[],
+                 state=new_state)
+    exported = str(tmp_path / "005.torch.checkpoint")
+    ckpt_io.export_torch(native, exported)
+    back = torch.load(exported, weights_only=False)
+    g2 = TorchGenerator(1)
+    g2.load_state_dict(back["g_state_dict"])
+    opt2 = torch.optim.Adam(g2.parameters(), lr=1e-4, betas=(0.5, 0.999))
+    opt2.load_state_dict(back["g_optimizer_state_dict"])  # raises on mismatch
 
 
 def test_train_stage_and_resume(tmp_path, monkeypatch):

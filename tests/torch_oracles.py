@@ -41,8 +41,12 @@ class TorchGenerator(nn.Module):
                   "dec1": (128, 64)}
         for name, (i, o) in widths.items():
             setattr(self, name, conv_block(i, o))
+        # registration order matches the reference exactly (all attentions,
+        # then all upsamples — waveform_train.py:110-115): torch Adam state
+        # is keyed by parameters() order, so interop tests depend on it
         for lvl, f in ((3, 256), (2, 128), (1, 64)):
             setattr(self, f"att{lvl}", TorchAttention(f, f, f // 2))
+        for lvl, f in ((3, 256), (2, 128), (1, 64)):
             setattr(self, f"up{lvl}", nn.ConvTranspose1d(f * 2, f, 3))
         self.final = nn.Conv1d(64, 1, 1)
         self.dropout = nn.Dropout(0.3)
