@@ -20,19 +20,22 @@ from scgrhc.eval import metrics
 from scgrhc.models import generator
 
 
-@partial(jax.jit, static_argnames=("n",))
-def _chunk_scores(g_params, scg, rhc, mm_rhc, n: int):
+@partial(jax.jit, static_argnames=("n", "dtype"))
+def _chunk_scores(g_params, scg, rhc, mm_rhc, n: int, dtype: str = "float32"):
     """One chunk: forward → denorm → metrics.  scg (B, C, T), rhc (B, 1, T),
-    mm_rhc (B, 2).  Denormalization matches waveform_test.py:21-25,64-67."""
-    pred = generator.apply(g_params, scg, train=False)
+    mm_rhc (B, 2).  Denormalization matches waveform_test.py:21-25,64-67.
+    Denorm + metrics always run in f32, whatever the model compute dtype."""
+    pred = generator.apply(g_params, scg, train=False, dtype=jnp.dtype(dtype))
     lo = mm_rhc[:, :1].astype(jnp.float32)
     span = (mm_rhc[:, 1:] - mm_rhc[:, :1]).astype(jnp.float32)
     x = rhc[:, 0, :] * span + lo  # real, denormalized
-    y = pred[:, 0, :] * span + lo  # predicted, denormalized
+    y = pred[:, 0, :].astype(jnp.float32) * span + lo  # predicted, denormalized
     return x, y, metrics.segment_scores(x, y)
 
 
-def predict_split(g_params, store, batch: int = 256, sharding=None):
+def predict_split(
+    g_params, store, batch: int = 256, sharding=None, dtype: str = "float32"
+):
     """Run the generator over every segment of a store.
 
     Returns (real (N, T), pred (N, T) — both denormalized float32 numpy —
@@ -44,6 +47,8 @@ def predict_split(g_params, store, batch: int = 256, sharding=None):
     n = len(store)
     mm = jnp.asarray(store.minmax_rhc)
     batch = max(1, min(batch, n))
+    if jnp.dtype(dtype) != jnp.float32:
+        g_params = generator.cast_params(g_params, jnp.dtype(dtype))
 
     xs, ys, scores = [], [], []
     for s in range(0, n, batch):
@@ -60,7 +65,7 @@ def predict_split(g_params, store, batch: int = 256, sharding=None):
             scg = jax.device_put(scg, sharding)
             rhc = jax.device_put(rhc, sharding)
             mm_c = jax.device_put(mm_c, sharding)
-        x, y, sc = _chunk_scores(g_params, scg, rhc, mm_c, batch)
+        x, y, sc = _chunk_scores(g_params, scg, rhc, mm_c, batch, dtype)
         keep = e - s
         xs.append(np.asarray(x[:keep]))
         ys.append(np.asarray(y[:keep]))

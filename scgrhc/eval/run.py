@@ -37,11 +37,15 @@ def get_processed_checkpoints(comp_dir_path: str) -> frozenset:
     )
 
 
-def get_waveform_comparisons(g_params, loader, batch: int = 256, sharding=None):
+def get_waveform_comparisons(
+    g_params, loader, batch: int = 256, sharding=None, dtype: str = "float32"
+):
     """Per-segment comparison rows (reference: waveform_test.py:53-85),
     computed by one batched device program per chunk."""
     store = loader.dataset
-    real, pred, scores = predict_split(g_params, store, batch=batch, sharding=sharding)
+    real, pred, scores = predict_split(
+        g_params, store, batch=batch, sharding=sharding, dtype=dtype
+    )
     comparisons = []
     for i in range(len(store)):
         comparisons.append(
@@ -119,7 +123,7 @@ def run(params, loader_type: str, checkpoint_path: str) -> None:
 
         with trace(f"eval_{loader_type}"):
             comparisons = get_waveform_comparisons(
-                g_params, loader, batch=params.eval_batch
+                g_params, loader, batch=params.eval_batch, dtype=params.dtype
             )
         comparisons.sort(key=lambda c: c["pcc_r"], reverse=True)
 

@@ -78,6 +78,13 @@ def init(rng, in_channels: int):
     return params
 
 
+def cast_params(params, dtype):
+    """Cast a weight pytree for reduced-precision inference (bf16 on MXU).
+    Convs accumulate in f32 and norm statistics stay f32 (see ops.nn), so
+    bf16 keeps Pearson-r parity within the 1e-3 gate."""
+    return jax.tree.map(lambda a: jnp.asarray(a).astype(dtype), params)
+
+
 def _pad_size(a, b):
     """Reference size-reconciler incl. its shorter-branch quirk
     (waveform_train.py:165-173); static under jit."""

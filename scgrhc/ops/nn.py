@@ -28,17 +28,22 @@ IN_EPS = 1e-5  # torch InstanceNorm1d default
 
 
 def conv1d(x, w, b=None, padding: int = 0):
-    """(N, C, L) ⊛ (O, C, K) → (N, O, L'), cross-correlation like torch."""
+    """(N, C, L) ⊛ (O, C, K) → (N, O, L'), cross-correlation like torch.
+
+    Accumulates in float32 regardless of input dtype (MXU-native bf16
+    inputs keep f32 partial sums), then casts back to the input dtype.
+    """
     out = lax.conv_general_dilated(
         x,
         w,
         window_strides=(1,),
         padding=[(padding, padding)],
         dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
     )
     if b is not None:
-        out = out + b[None, :, None]
-    return out
+        out = out + b.astype(jnp.float32)[None, :, None]
+    return out.astype(x.dtype)
 
 
 def conv_transpose1d(x, w, b=None):
@@ -57,18 +62,24 @@ def conv_transpose1d(x, w, b=None):
         window_strides=(1,),
         padding=[(k - 1, k - 1)],
         dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
     )
     if b is not None:
-        out = out + b[None, :, None]
-    return out
+        out = out + b.astype(jnp.float32)[None, :, None]
+    return out.astype(x.dtype)
 
 
 def instance_norm(x, eps: float = IN_EPS):
     """Per-(sample, channel) normalization over time; no affine params
-    (torch ``nn.InstanceNorm1d`` defaults; reference: waveform_train.py:47,136)."""
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)  # biased
-    return (x - mean) * lax.rsqrt(var + eps)
+    (torch ``nn.InstanceNorm1d`` defaults; reference: waveform_train.py:47,136).
+
+    Statistics are always computed in float32 — a 750-sample mean/variance
+    in bf16 loses ~2 decimal digits, which the normalization would amplify.
+    """
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)  # biased
+    return ((x32 - mean) * lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 def max_pool1d_k3s1(x):

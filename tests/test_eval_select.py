@@ -103,6 +103,18 @@ def test_predict_split_chunking_invariant(g_setup):
     np.testing.assert_allclose(s1["pcc_r"], s2["pcc_r"], rtol=1e-5, atol=1e-6)
 
 
+def test_predict_split_bfloat16(g_setup):
+    """Opt-in reduced-precision inference (params.dtype): f32 accumulation
+    inside convs + f32 norm statistics keep predictions highly correlated
+    with the f32 path."""
+    _, state, store = g_setup
+    _, p32, _ = predict_split(state.g_params, store, batch=6)
+    _, p16, s16 = predict_split(state.g_params, store, batch=6, dtype="bfloat16")
+    assert np.isfinite(p16).all()
+    r = np.asarray(metrics.pearson_r(jnp.asarray(p32), jnp.asarray(p16)))
+    assert (r > 0.99).all()
+
+
 def test_predict_split_denorm(g_setup):
     """Real waveform comes back as reverse_minmax of the stored normalized
     rhc (reference: waveform_test.py:21-25,64)."""
