@@ -24,3 +24,33 @@ utils     synthetic WFDB record generation, plotting
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache, shared across stage processes.
+
+    The pipeline runs data/train/eval/select as separate processes (CLI and
+    sweep fan-out); without a persistent cache every process re-JITs the
+    same programs (minutes per stage).  Opt out or redirect with
+    ``SCGRHC_COMPILE_CACHE`` (set to ``0``/``off`` to disable).
+    """
+    import os
+
+    loc = os.environ.get("SCGRHC_COMPILE_CACHE", "")
+    if loc.lower() in ("0", "off", "false", "none"):
+        return
+    if not loc:
+        loc = os.path.join(
+            os.path.expanduser("~"), ".cache", "scgrhc", "xla_cache"
+        )
+    try:
+        import jax
+
+        os.makedirs(loc, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization only
+
+
+_enable_compilation_cache()

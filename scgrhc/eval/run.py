@@ -26,6 +26,7 @@ from scgrhc.data.loaders import load_dataloader
 from scgrhc.eval.infer import predict_split
 from scgrhc.models import torch_compat
 from scgrhc.train import checkpoint as ckpt_io
+from scgrhc.train import orbax_io
 
 
 def get_processed_checkpoints(comp_dir_path: str) -> frozenset:
@@ -99,7 +100,16 @@ def run(params, loader_type: str, checkpoint_path: str) -> None:
             ckpt_io.get_last_checkpoint_path(params.checkpoint_dir_path)
         ]
     else:
-        checkpoint_paths = [checkpoint_path]
+        # an explicit name (e.g. parsed from checkpoint_best.txt, which
+        # always says 'NNN.checkpoint') may live on disk as an orbax dir
+        explicit = checkpoint_path
+        if not os.path.exists(
+            os.path.join(params.checkpoint_dir_path, explicit)
+        ) and orbax_io.is_orbax_checkpoint(
+            os.path.join(params.checkpoint_dir_path, explicit + orbax_io.ORBAX_SUFFIX)
+        ):
+            explicit += orbax_io.ORBAX_SUFFIX
+        checkpoint_paths = [explicit]
 
     comp_dir_path = os.path.join(params.comparison_dir_path, loader_type)
     os.makedirs(comp_dir_path, exist_ok=True)
@@ -113,13 +123,22 @@ def run(params, loader_type: str, checkpoint_path: str) -> None:
                 start_time,
             )
         )
-        if ckpt_name in processed_checkpoints:
+        if f"{ckpt_name.split('.')[0]}.checkpoint" in processed_checkpoints:
             continue
 
-        ckpt = ckpt_io.load(os.path.join(params.checkpoint_dir_path, ckpt_name))
-        g_params = jax.tree.map(
-            np.asarray, torch_compat.generator_from_torch_sd(ckpt["g_state_dict"])
-        )
+        full_path = os.path.join(params.checkpoint_dir_path, ckpt_name)
+        if orbax_io.is_orbax_checkpoint(full_path):
+            from scgrhc.train.wgan import TrainConfig
+
+            _, state = orbax_io.load(
+                full_path, TrainConfig.from_params(params), len(params.in_channels)
+            )
+            g_params = jax.tree.map(np.asarray, state.g_params)
+        else:
+            ckpt = ckpt_io.load(full_path)
+            g_params = jax.tree.map(
+                np.asarray, torch_compat.generator_from_torch_sd(ckpt["g_state_dict"])
+            )
 
         with trace(f"eval_{loader_type}"):
             comparisons = get_waveform_comparisons(

@@ -1,0 +1,109 @@
+"""Orbax checkpoint backend.
+
+The default backend writes the reference's pickle dict layout
+(scgrhc.train.checkpoint, reference: waveform_train.py:401-411) for
+drop-in artifact parity.  This module is the TPU-native alternative:
+Orbax persists the *live* TrainState pytree (sharded-array aware,
+async-capable, atomic renames) in a ``NNN.checkpoint.orbax`` directory
+next to where the reference file would sit, and converts to/from the
+reference dict layout on demand, so the two backends interoperate —
+``scgrhc.train.checkpoint.load`` reads either.
+
+Select with ``"checkpoint_backend": "orbax"`` in params.json.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+ORBAX_SUFFIX = ".orbax"
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
+
+
+def save(path: str, *, start_time, epoch, g_losses, d_losses, state) -> None:
+    """Write an Orbax checkpoint directory at ``path + '.orbax'``.
+
+    The array pytree goes through Orbax; the variable-length scalars
+    (epoch, loss histories) go to a ``meta.json`` inside the directory —
+    Orbax's abstract-tree restore needs static shapes, which loss
+    histories don't have.
+    """
+    import json
+
+    tree = {
+        "g_params": state.g_params,
+        "d_params": state.d_params,
+        "g_opt": state.g_opt,
+        "d_opt": state.d_opt,
+    }
+    out = os.path.abspath(path) + ORBAX_SUFFIX
+    ckptr = _checkpointer()
+    ckptr.save(out, tree, force=True)
+    ckptr.wait_until_finished()
+    with open(os.path.join(out, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "start_time": float(start_time),
+                "epoch": int(epoch),
+                "g_losses": [float(x) for x in g_losses],
+                "d_losses": [float(x) for x in d_losses],
+            },
+            f,
+        )
+
+
+def load(path: str, cfg, in_channels: int):
+    """Read an Orbax checkpoint directory → (ckpt_dict, TrainState).
+
+    The returned dict carries the reference layout's scalar keys
+    (start_time/epoch/g_losses/d_losses) so stage code is backend-blind.
+    """
+    import json
+
+    from scgrhc.train.wgan import TrainState, init_state
+
+    target = init_state(jax.random.key(0), in_channels, cfg)
+    abstract = {
+        "g_params": target.g_params,
+        "d_params": target.d_params,
+        "g_opt": target.g_opt,
+        "d_opt": target.d_opt,
+    }
+    ckptr = _checkpointer()
+    p = os.path.abspath(path)
+    if not p.endswith(ORBAX_SUFFIX):
+        p += ORBAX_SUFFIX
+    tree = ckptr.restore(p, abstract)
+    with open(os.path.join(p, "meta.json")) as f:
+        ckpt = json.load(f)
+    state = TrainState(
+        tree["g_params"], tree["d_params"], tree["g_opt"], tree["d_opt"]
+    )
+    return ckpt, state
+
+
+def is_orbax_checkpoint(path: str) -> bool:
+    return os.path.isdir(path) and path.endswith(ORBAX_SUFFIX)
+
+
+def to_reference(path: str, out_path: str, cfg, in_channels: int) -> None:
+    """Orbax directory → reference-layout pickle (artifact parity shim)."""
+    from scgrhc.train import checkpoint as ckpt_io
+
+    ckpt, state = load(path, cfg, in_channels)
+    ckpt_io.save(
+        out_path,
+        start_time=ckpt["start_time"],
+        epoch=ckpt["epoch"],
+        g_losses=ckpt["g_losses"],
+        d_losses=ckpt["d_losses"],
+        state=state,
+    )

@@ -21,6 +21,7 @@ from scgrhc.core.timelog import timelog
 from scgrhc.core.trace import annotate, trace
 from scgrhc.data.loaders import load_dataloader
 from scgrhc.train import checkpoint as ckpt_io
+from scgrhc.train import orbax_io
 from scgrhc.train.wgan import TrainConfig, init_state, train_step
 
 
@@ -56,12 +57,16 @@ def run(params, plot: bool = True) -> None:
 
     last = ckpt_io.get_last_checkpoint_path(params.checkpoint_dir_path)
     if last is not None:
-        ckpt = ckpt_io.load(os.path.join(params.checkpoint_dir_path, last))
+        last_path = os.path.join(params.checkpoint_dir_path, last)
+        if orbax_io.is_orbax_checkpoint(last_path):
+            ckpt, state = orbax_io.load(last_path, cfg, len(params.in_channels))
+        else:
+            ckpt = ckpt_io.load(last_path)
+            state = ckpt_io.restore_state(ckpt, cfg, len(params.in_channels))
         start_time = ckpt["start_time"]
         epoch = ckpt["epoch"] + 1
         g_losses = list(ckpt["g_losses"])
         d_losses = list(ckpt["d_losses"])
-        state = ckpt_io.restore_state(ckpt, cfg, len(params.in_channels))
         print(timelog(f"Loaded {last}", start_time))
     else:
         epoch = 0
@@ -120,7 +125,12 @@ def _train_loop(
                         params.dir_path,
                     )
 
-        ckpt_io.save(
+        save_fn = (
+            orbax_io.save
+            if getattr(params, "checkpoint_backend", "reference") == "orbax"
+            else ckpt_io.save
+        )
+        save_fn(
             os.path.join(params.checkpoint_dir_path, f"{epoch:03d}.checkpoint"),
             start_time=start_time,
             epoch=epoch,
