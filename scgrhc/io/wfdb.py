@@ -179,9 +179,25 @@ def rdrecord(record_path: str) -> Record:
         fmts = {specs[i].fmt for i in idxs}
         if len(fmts) != 1:
             raise ValueError(f"Mixed formats in {file_name}: {fmts}")
-        adc = _decode_dat(
-            os.path.join(dirname, file_name), fmts.pop(), len(idxs), sig_len
-        )
+        fmt = fmts.pop()
+        path = os.path.join(dirname, file_name)
+
+        from scgrhc import native
+
+        if native.decode_calibrate is not None and fmt in ("16", "32", "80", "212"):
+            # fused native path: decode + calibrate in one C pass
+            with open(path, "rb") as f:
+                raw = f.read()
+            cal = native.decode_calibrate(
+                raw, int(fmt), len(idxs), sig_len,
+                [float(specs[i].baseline) for i in idxs],
+                [float(specs[i].gain) for i in idxs],
+            )
+            for col, sig_idx in enumerate(idxs):
+                p_signal[:, sig_idx] = cal[:, col]
+            continue
+
+        adc = _decode_dat(path, fmt, len(idxs), sig_len)
         for col, sig_idx in enumerate(idxs):
             spec = specs[sig_idx]
             p_signal[:, sig_idx] = (adc[:, col] - spec.baseline) / spec.gain
@@ -205,13 +221,13 @@ def wrrecord(
     fmt: str = "16",
     units: str = "mV",
 ) -> None:
-    """Write a WFDB record (format 16, single interleaved .dat).
+    """Write a WFDB record (format 16 or 212, single interleaved .dat).
 
     Used by synthetic-dataset fixtures; physical values are quantized through
     the ADC model, so ``rdrecord(wrrecord(x))`` matches ``x`` to 1/gain.
     """
-    if fmt != "16":
-        raise ValueError("writer supports format 16 only")
+    if fmt not in ("16", "212"):
+        raise ValueError("writer supports formats 16 and 212 only")
     p_signal = np.asarray(p_signal, dtype=np.float64)
     sig_len, n_sig = p_signal.shape
     if n_sig != len(sig_names):
@@ -220,8 +236,11 @@ def wrrecord(
     dat_name = record_name + ".dat"
 
     adc = np.round(p_signal * gain + baseline)
-    info = np.iinfo(np.int16)
-    adc = np.clip(adc, info.min, info.max).astype(np.int16)
+    if fmt == "16":
+        info = np.iinfo(np.int16)
+        adc = np.clip(adc, info.min, info.max).astype(np.int32)
+    else:  # 12-bit two's complement
+        adc = np.clip(adc, -2048, 2047).astype(np.int32)
 
     with open(record_path + ".hea", "w") as f:
         f.write(f"{record_name} {n_sig} {fs:g} {sig_len}\n")
@@ -229,7 +248,23 @@ def wrrecord(
             init_value = int(adc[0, j]) if sig_len else 0
             checksum = int(np.sum(adc[:, j], dtype=np.int64) & 0xFFFF)
             f.write(
-                f"{dat_name} 16 {gain:g}({baseline})/{units} 16 {baseline} "
+                f"{dat_name} {fmt} {gain:g}({baseline})/{units} "
+                f"{16 if fmt == '16' else 12} {baseline} "
                 f"{init_value} {checksum} 0 {name}\n"
             )
-    adc.reshape(-1).tofile(os.path.join(os.path.dirname(record_path), dat_name))
+
+    flat = adc.reshape(-1)
+    dat_path = os.path.join(os.path.dirname(record_path), dat_name)
+    if fmt == "16":
+        flat.astype("<i2").tofile(dat_path)
+    else:
+        # pack 12-bit pairs: sample0 low byte | [hi4(s1)<<4 | hi4(s0)] | s1 low
+        if flat.size % 2:
+            flat = np.concatenate([flat, np.zeros(1, dtype=np.int32)])
+        u = np.where(flat < 0, flat + 4096, flat).astype(np.uint16)
+        first, second = u[0::2], u[1::2]
+        packed = np.empty((first.size, 3), dtype=np.uint8)
+        packed[:, 0] = first & 0xFF
+        packed[:, 1] = ((first >> 8) & 0x0F) | (((second >> 8) & 0x0F) << 4)
+        packed[:, 2] = second & 0xFF
+        packed.tofile(dat_path)
