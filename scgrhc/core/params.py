@@ -88,6 +88,9 @@ class Params:
         # "reference" = the pickle dict layout of waveform_train.py:401-411;
         # "orbax" = native sharded-pytree checkpoints (scgrhc.train.orbax_io)
         self.checkpoint_backend = d.get("checkpoint_backend", "reference")
+        # "epoch" = lax.scan whole-epoch programs (one dispatch per epoch);
+        # "step" = one jitted program per batch (reference-style loop)
+        self.train_mode = d.get("train_mode", "epoch")
 
     @staticmethod
     def init_json(path: str) -> dict[str, Any]:

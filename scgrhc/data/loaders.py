@@ -57,6 +57,14 @@ class SegmentLoader:
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
 
+    def epoch_order(self, epoch: int) -> np.ndarray:
+        """The (deterministic) segment permutation used for a given epoch —
+        the epoch-scan train path batches with it directly."""
+        n = len(self.store)
+        if self.shuffle:
+            return np.random.default_rng((self.seed, epoch)).permutation(n)
+        return np.arange(n)
+
     def __iter__(self):
         n = len(self.store)
         if self.shuffle:

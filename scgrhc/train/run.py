@@ -89,21 +89,80 @@ def run(params, plot: bool = True) -> None:
         )
 
 
+def _run_epoch_step_mode(params, cfg, state, train_loader, rng, epoch):
+    """Reference-style loop: one jitted program per batch.  Yields
+    (batch_index, d_losses (n_critic,), g_loss) as floats arrive."""
+    train_loader.set_epoch(epoch)
+    for i, (scg, rhc) in enumerate(train_loader):
+        rng, step_rng = jax.random.split(rng)
+        with annotate("train_step"):
+            state, d_step, g_loss = train_step(
+                state, jnp.asarray(scg), jnp.asarray(rhc), step_rng, cfg
+            )
+        yield state, i, np.asarray(d_step).tolist(), float(g_loss)
+
+
+def _run_epoch_scan_mode(params, cfg, state, train_loader, rng, epoch):
+    """TPU-native path: all full-size batches of the epoch as one scanned
+    XLA program (scgrhc.train.wgan.train_epoch); the remainder batch, if
+    any, runs as one extra step.  Per-batch losses come back afterwards,
+    so observable outputs (loss histories, prints, plots, checkpoints)
+    match step mode's."""
+    from scgrhc.train.wgan import train_epoch
+
+    store = train_loader.dataset
+    bs = train_loader.batch_size
+    order = train_loader.epoch_order(epoch)
+    n = len(order)
+    nb = n // bs
+    rng, epoch_rng, tail_rng = jax.random.split(rng, 3)
+
+    out = []
+    if nb:
+        idx = order[: nb * bs]
+        scg_b = store.scg[idx].reshape(nb, bs, *store.scg.shape[1:])
+        rhc_b = store.rhc[idx].reshape(nb, bs, *store.rhc.shape[1:])
+        with annotate("train_epoch"):
+            state, d_hist, g_hist = train_epoch(
+                state, jnp.asarray(scg_b), jnp.asarray(rhc_b), epoch_rng, cfg
+            )
+        d_hist = np.asarray(d_hist)
+        g_hist = np.asarray(g_hist)
+        for i in range(nb):
+            out.append((state, i, d_hist[i].tolist(), float(g_hist[i])))
+    if n % bs:
+        tail = order[nb * bs :]
+        with annotate("train_step"):
+            state, d_step, g_loss = train_step(
+                state,
+                jnp.asarray(store.scg[tail]),
+                jnp.asarray(store.rhc[tail]),
+                tail_rng,
+                cfg,
+            )
+        out.append((state, nb, np.asarray(d_step).tolist(), float(g_loss)))
+    return out
+
+
 def _train_loop(
     params, cfg, state, train_loader, rng, epoch, total_epochs,
     g_losses, d_losses, g_loss_total, d_loss_total, start_time, n_batches,
     plot,
 ):
+    mode = getattr(params, "train_mode", "epoch")
     while epoch < total_epochs:
-        train_loader.set_epoch(epoch)
-        for i, (scg, rhc) in enumerate(train_loader):
-            rng, step_rng = jax.random.split(rng)
-            with annotate("train_step"):
-                state, d_step_losses, g_loss = train_step(
-                    state, jnp.asarray(scg), jnp.asarray(rhc), step_rng, cfg
-                )
-            d_losses.extend(np.asarray(d_step_losses).tolist())
-            g_losses.append(float(g_loss))
+        rng, epoch_rng = jax.random.split(rng)
+        if mode == "step":
+            steps = _run_epoch_step_mode(
+                params, cfg, state, train_loader, epoch_rng, epoch
+            )
+        else:
+            steps = _run_epoch_scan_mode(
+                params, cfg, state, train_loader, epoch_rng, epoch
+            )
+        for state, i, d_step, g_loss in steps:
+            d_losses.extend(d_step)
+            g_losses.append(g_loss)
 
             if i > 0 and (i % 10 == 0 or i == n_batches - 1):
                 g_loss_sum = sum(g_losses)

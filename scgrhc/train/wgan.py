@@ -114,8 +114,7 @@ def generator_loss(g_params, d_params, scg, rhc, drop_rng, cfg: TrainConfig):
     return -jnp.mean(pred_validity) + cfg.lambda_aux * mse
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def train_step(state: TrainState, scg, rhc, rng, cfg: TrainConfig):
+def _train_step_impl(state: TrainState, scg, rhc, rng, cfg: TrainConfig):
     """One batch: n_critic critic updates then one generator update
     (reference: waveform_train.py:357-381).  Returns (state, d_losses
     (n_critic,), g_loss)."""
@@ -139,3 +138,31 @@ def train_step(state: TrainState, scg, rhc, rng, cfg: TrainConfig):
     g_params = optax.apply_updates(g_params, updates)
 
     return TrainState(g_params, d_params, g_opt, d_opt), jnp.stack(d_losses), g_loss
+
+
+train_step = partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))(
+    _train_step_impl
+)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def train_epoch(state: TrainState, scg_batches, rhc_batches, rng, cfg: TrainConfig):
+    """A whole epoch of equal-size batches as ONE XLA program.
+
+    ``lax.scan`` over (nb, B, C, T) pre-batched arrays: per-step host
+    dispatch (and its round-trip latency, which dominates small-batch
+    steps) collapses into a single launch per epoch.  Step math is
+    identical to :func:`train_step`.  Returns
+    (state, d_losses (nb, n_critic), g_losses (nb,)).
+    """
+    keys = jax.random.split(rng, scg_batches.shape[0])
+
+    def body(st, xs):
+        scg, rhc, key = xs
+        st, d_losses, g_loss = _train_step_impl(st, scg, rhc, key, cfg)
+        return st, (d_losses, g_loss)
+
+    state, (d_hist, g_hist) = jax.lax.scan(
+        body, state, (scg_batches, rhc_batches, keys)
+    )
+    return state, d_hist, g_hist

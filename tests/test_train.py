@@ -179,6 +179,42 @@ def test_checkpoint_torch_interop(tmp_path, tiny_setup):
         np.asarray(state.g_params["final"]["w"]))
 
 
+def test_train_epoch_scan_matches_sequential_steps(tiny_setup):
+    """The whole-epoch lax.scan program == the same batches stepped one by
+    one with the same per-batch keys (scgrhc.train.wgan.train_epoch)."""
+    from scgrhc.train.wgan import train_epoch
+
+    cfg, state, scg, rhc = tiny_setup
+    # tiny lr: at 1e-3 the WGAN-GP trajectory is chaotic enough that f32
+    # fusion differences between the scanned and standalone programs
+    # visibly diverge by step 3 — the comparison needs glued trajectories
+    cfg = cfg._replace(alpha=1e-6)
+    nb = 3
+    rng = np.random.default_rng(7)
+    scg_b = jnp.asarray(rng.random((nb, 2, 1, T)), jnp.float32)
+    rhc_b = jnp.asarray(rng.random((nb, 2, 1, T)), jnp.float32)
+    key = jax.random.key(11)
+
+    seq_state = _clone(state)
+    keys = jax.random.split(key, nb)
+    seq_d, seq_g = [], []
+    for i in range(nb):
+        seq_state, d, g = train_step(seq_state, scg_b[i], rhc_b[i], keys[i], cfg)
+        seq_d.append(np.asarray(d))
+        seq_g.append(float(g))
+
+    scan_state, d_hist, g_hist = train_epoch(_clone(state), scg_b, rhc_b, key, cfg)
+
+    np.testing.assert_allclose(np.asarray(d_hist), np.stack(seq_d), rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(g_hist), np.asarray(seq_g), rtol=2e-3)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4
+        ),
+        scan_state.g_params, seq_state.g_params,
+    )
+
+
 def test_resume_from_genuine_torch_checkpoint(tmp_path):
     """A reference-style torch.save checkpoint (real torch Adam state, torch
     param-id ordering) restores with Adam moments mapped to the right
