@@ -54,3 +54,5 @@ def _enable_compilation_cache() -> None:
 
 
 _enable_compilation_cache()
+
+from scgrhc.core import debug as _debug  # noqa: E402  (SCGRHC_DEBUG modes)

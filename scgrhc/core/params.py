@@ -84,7 +84,7 @@ class Params:
         # --- scgrhc extensions (optional, defaulted) ---
         self.seed = d.get("seed", 0)
         self.dtype = d.get("dtype", "float32")
-        self.eval_batch = d.get("eval_batch", 256)
+        self.eval_batch = d.get("eval_batch", 1024)
         # "reference" = the pickle dict layout of waveform_train.py:401-411;
         # "orbax" = native sharded-pytree checkpoints (scgrhc.train.orbax_io)
         self.checkpoint_backend = d.get("checkpoint_backend", "reference")
