@@ -40,8 +40,12 @@ def _enable_compilation_cache() -> None:
     if loc.lower() in ("0", "off", "false", "none"):
         return
     if not loc:
+        # scope by requested platform: executables AOT-compiled through the
+        # remote TPU tunnel carry CPU-feature flags that can SIGILL if a
+        # local-CPU process (e.g. the test suite) loads them
+        platform = os.environ.get("JAX_PLATFORMS", "default").replace(",", "_")
         loc = os.path.join(
-            os.path.expanduser("~"), ".cache", "scgrhc", "xla_cache"
+            os.path.expanduser("~"), ".cache", "scgrhc", f"xla_cache_{platform}"
         )
     try:
         import jax

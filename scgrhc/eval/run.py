@@ -29,6 +29,13 @@ from scgrhc.train import checkpoint as ckpt_io
 from scgrhc.train import orbax_io
 
 
+CSV_COLUMNS = [
+    "filename", "start_idx", "stop_idx", "real_rhc", "pred_rhc",
+    "pcc_r", "pcc_ci95_lower", "pcc_ci95_upper",
+    "rmse", "rmse_ci95_lower", "rmse_ci95_upper",
+]
+
+
 def get_processed_checkpoints(comp_dir_path: str) -> frozenset:
     """Checkpoints already scored in this directory
     (reference: waveform_test.py:89-93)."""
@@ -148,4 +155,7 @@ def run(params, loader_type: str, checkpoint_path: str) -> None:
 
         checkpoint_str = ckpt_name.split(".")[0]
         comparison_path = os.path.join(comp_dir_path, f"{checkpoint_str}.csv")
-        pd.DataFrame(comparisons).to_csv(comparison_path, index=False)
+        # explicit columns: an empty split still writes a parseable header
+        pd.DataFrame(comparisons, columns=CSV_COLUMNS).to_csv(
+            comparison_path, index=False
+        )

@@ -38,6 +38,16 @@ def get_checkpoint_scores(params, start_time: float) -> list[dict]:
 
     for i, comparison_path in enumerate(comparison_paths):
         df = pd.read_csv(os.path.join(comparison_dir_path, comparison_path))
+        if df.empty:  # empty split: nothing to score for this checkpoint
+            print(
+                timelog(
+                    f"waveform_checkpoint | {params.dir_path} | "
+                    f"{i}/{len(comparison_paths)} | empty comparison "
+                    f"{comparison_path}, skipped",
+                    start_time,
+                )
+            )
+            continue
         all_pred = np.concatenate([get_float_array(s) for s in df["pred_rhc"]])
         all_real = np.concatenate([get_float_array(s) for s in df["real_rhc"]])
 
