@@ -1,0 +1,124 @@
+"""Whole-record SCG→RHC prediction (new capability, beyond the reference).
+
+The reference can only score pre-chopped 1.5-s segments against known RHC
+(waveform_test.py); it has no way to synthesize a continuous pressure
+waveform for a full record.  This stage does: it loads an experiment's
+checkpoint (``best`` resolves through checkpoint_best.txt, ``last``/
+explicit like waveform_test), reads the record's SCG channels, and runs
+the sequence-parallel streaming-inference path (scgrhc.parallel.stream)
+over the entire record on device — per-window normalization identical to
+the training pipeline, optional overlap-and-blend stitching, optional
+denormalization against a calibration (min, max).
+
+Output: ``<dir>/predictions/<record>.npy`` (float32 waveform at 500 Hz)
+plus a small JSON sidecar with provenance.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from time import time
+
+import numpy as np
+
+from scgrhc.core.timelog import timelog
+from scgrhc.io.catalog import SAMPLE_FREQ, get_channels, read_record
+from scgrhc.models import torch_compat
+from scgrhc.parallel.stream import stream_infer
+from scgrhc.train import checkpoint as ckpt_io
+from scgrhc.train import orbax_io
+
+
+def resolve_checkpoint(params, which: str) -> str:
+    """'best' (checkpoint_best.txt handshake), 'last', or explicit name."""
+    if which == "best":
+        with open(os.path.join(params.dir_path, "checkpoint_best.txt")) as f:
+            which = f.read().splitlines()[0].split()[1]
+    elif which == "last":
+        which = ckpt_io.get_last_checkpoint_path(params.checkpoint_dir_path)
+    full = os.path.join(params.checkpoint_dir_path, which)
+    if not os.path.exists(full) and orbax_io.is_orbax_checkpoint(
+        full + orbax_io.ORBAX_SUFFIX
+    ):
+        which += orbax_io.ORBAX_SUFFIX
+    return which
+
+
+def load_generator_params(params, ckpt_name: str):
+    import jax
+
+    full = os.path.join(params.checkpoint_dir_path, ckpt_name)
+    if orbax_io.is_orbax_checkpoint(full):
+        from scgrhc.train.wgan import TrainConfig
+
+        _, state = orbax_io.load(
+            full, TrainConfig.from_params(params), len(params.in_channels)
+        )
+        return jax.tree.map(np.asarray, state.g_params)
+    ckpt = ckpt_io.load(full)
+    return jax.tree.map(
+        np.asarray, torch_compat.generator_from_torch_sd(ckpt["g_state_dict"])
+    )
+
+
+def run(
+    params,
+    record_name: str,
+    checkpoint: str = "best",
+    overlap_s: float = 0.0,
+    rhc_minmax: tuple[float, float] | None = None,
+    out_dir: str | None = None,
+) -> str:
+    """Predict one record's full RHC waveform; returns the .npy path."""
+    start_time = time()
+    ckpt_name = resolve_checkpoint(params, checkpoint)
+    print(
+        timelog(
+            f"Run waveform_predict for {params.dir_path} | {record_name} | "
+            f"{ckpt_name}",
+            start_time,
+        )
+    )
+    g_params = load_generator_params(params, ckpt_name)
+
+    record = read_record(record_name)
+    scg = get_channels(record, params.in_channels, 0, record.sig_len)  # (L, C)
+
+    t = params.segment_samples
+    overlap = int(overlap_s * SAMPLE_FREQ)
+    pred = stream_infer(
+        g_params,
+        scg.T.astype(np.float32),
+        segment_samples=t,
+        overlap=overlap,
+        rhc_minmax=rhc_minmax,
+    )
+
+    out_dir = out_dir or os.path.join(params.dir_path, "predictions")
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, f"{record_name}.npy")
+    np.save(out_path, pred.astype(np.float32))
+    with open(os.path.join(out_dir, f"{record_name}.json"), "w") as f:
+        json.dump(
+            {
+                "record": record_name,
+                "checkpoint": ckpt_name,
+                "in_channels": params.in_channels,
+                "segment_samples": t,
+                "overlap_samples": overlap,
+                "denormalized": rhc_minmax is not None,
+                "n_samples": int(pred.shape[0]),
+                "sample_freq": SAMPLE_FREQ,
+            },
+            f,
+            indent=2,
+        )
+    print(
+        timelog(
+            f"waveform_predict | {record_name} | {pred.shape[0]} samples "
+            f"({pred.shape[0] / SAMPLE_FREQ:.1f} s) → {out_path}",
+            start_time,
+        )
+    )
+    return out_path

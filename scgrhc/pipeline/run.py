@@ -70,6 +70,19 @@ def dispatch(argv: list[str]) -> int:
         dirs = write_experiments(root, **overrides)
         results = run_sweep(dirs, jobs=jobs)
         return 0 if all(c == 0 for c in results.values()) else 1
+    if cmd == "predict":
+        # scgrhc predict <dir> <record> [checkpoint=best] [--overlap S]
+        from scgrhc.pipeline import predict
+
+        dir_name, record_name = argv[1], argv[2]
+        rest = argv[3:]
+        which = rest[0] if rest and not rest[0].startswith("--") else "best"
+        overlap = 0.0
+        if "--overlap" in rest:
+            overlap = float(rest[rest.index("--overlap") + 1])
+        params = Params(os.path.join(dir_name, "params.json"))
+        predict.run(params, record_name, checkpoint=which, overlap_s=overlap)
+        return 0
     if cmd in ("data", "train", "test", "select"):
         dir_name = argv[1]
         params = Params(os.path.join(dir_name, "params.json"))

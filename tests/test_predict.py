@@ -1,0 +1,73 @@
+"""Whole-record prediction stage (scgrhc.pipeline.predict)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from scgrhc.core.params import Params
+from scgrhc.train import checkpoint as ckpt_io
+from scgrhc.train.wgan import TrainConfig, init_state
+
+
+@pytest.fixture()
+def exp_with_ckpt(use_synth_db, tmp_path):
+    d = tmp_path / "exp"
+    os.makedirs(d / "checkpoints")
+    cfg = {
+        "dir_path": str(d),
+        "in_channels": ["patch_ACC_lat", "patch_ACC_hf"],
+        "chamber": "PA", "segment_size": 1.5, "batch_size": 8,
+        "train_path": "loader_train.pickle",
+        "valid_path": "loader_valid.pickle",
+        "test_path": "loader_test.pickle",
+        "checkpoint_dir_path": "checkpoints",
+        "comparison_dir_path": "comparisons",
+        "pred_top_dir_path": "pred_top", "pred_rand_dir_path": "pred_rand",
+        "alpha": 1e-4, "beta1": 0.5, "beta2": 0.999, "n_critic": 2,
+        "lambda_gp": 10, "lambda_aux": 100, "total_epochs": 1,
+        "min_RHC": -50, "use_global_min_max": False,
+    }
+    (d / "params.json").write_text(json.dumps(cfg))
+    state = init_state(jax.random.key(0), 2, TrainConfig())
+    ckpt_io.save(str(d / "checkpoints" / "003.checkpoint"), start_time=0.0,
+                 epoch=3, g_losses=[], d_losses=[], state=state)
+    return Params(str(d / "params.json"))
+
+
+def test_predict_full_record(exp_with_ckpt):
+    from scgrhc.pipeline import predict
+
+    out = predict.run(exp_with_ckpt, "SYN000", checkpoint="last")
+    pred = np.load(out)
+    # 120 s record → 80 full 1.5-s windows → 60000 samples
+    assert pred.shape == (80 * 750,)
+    assert np.isfinite(pred).all()
+    meta = json.load(open(out.replace(".npy", ".json")))
+    assert meta["checkpoint"] == "003.checkpoint"
+    assert meta["sample_freq"] == 500
+
+
+def test_predict_overlap_and_denorm(exp_with_ckpt):
+    from scgrhc.pipeline import predict
+
+    out = predict.run(
+        exp_with_ckpt, "SYN001", checkpoint="003.checkpoint",
+        overlap_s=0.5, rhc_minmax=(-10.0, 40.0),
+        out_dir=str(exp_with_ckpt.dir_path) + "/p2",
+    )
+    pred = np.load(out)
+    assert np.isfinite(pred).all()
+    meta = json.load(open(out.replace(".npy", ".json")))
+    assert meta["overlap_samples"] == 250 and meta["denormalized"]
+
+
+def test_predict_best_handshake(exp_with_ckpt):
+    from scgrhc.pipeline import predict
+
+    with open(os.path.join(exp_with_ckpt.dir_path, "checkpoint_best.txt"), "w") as f:
+        f.write("checkpoint         003.checkpoint\npcc_r  0.5\n")
+    assert predict.resolve_checkpoint(exp_with_ckpt, "best") == "003.checkpoint"
