@@ -91,6 +91,9 @@ class Params:
         # "epoch" = lax.scan whole-epoch programs (one dispatch per epoch);
         # "step" = one jitted program per batch (reference-style loop)
         self.train_mode = d.get("train_mode", "epoch")
+        # "host" = float64 NumPy noise gate (bit-exact dataset builds);
+        # "device" = fused Pallas gate kernel (scgrhc.ops.pallas.dsp)
+        self.data_backend = d.get("data_backend", "host")
 
     @staticmethod
     def init_json(path: str) -> dict[str, Any]:

@@ -96,6 +96,38 @@ def segment_interval(
     return out
 
 
+def segment_interval_device(
+    scg_signal: np.ndarray,
+    rhc_signal: np.ndarray,
+    segment_samples: int,
+    min_rhc: float,
+    record_name: str,
+) -> list[Segment]:
+    """Device-gated variant of :func:`segment_interval`.
+
+    The noise gate (the expensive per-window work) runs as the fused
+    Pallas kernel (scgrhc.ops.pallas.dsp); kept windows are then built
+    from the raw host float64 arrays, so the emitted Segments — and every
+    downstream artifact — are byte-identical to the host path's except
+    for windows sitting exactly on a gate threshold (f32 gate).
+    Select with ``"data_backend": "device"`` in params.json.
+    """
+    from scgrhc.ops.pallas.dsp import segment_record_on_device
+
+    num = scg_signal.shape[0] // segment_samples
+    if num == 0:
+        return []
+    keep, *_rest, starts = segment_record_on_device(
+        scg_signal, rhc_signal[:, 0], segment_samples, min_rhc
+    )
+    out = []
+    for i in np.nonzero(np.asarray(keep))[0]:
+        s = int(starts[i])
+        e = s + segment_samples
+        out.append(Segment(scg_signal[s:e], rhc_signal[s:e], record_name, s, e))
+    return out
+
+
 def get_segments(params, record_name: str | None = None) -> list[Segment]:
     """All clean segments for an experiment (reference: recordutil.py:122-149)."""
     if record_name is None:
@@ -106,13 +138,16 @@ def get_segments(params, record_name: str | None = None) -> list[Segment]:
 
     segment_samples = int(params.segment_size * SAMPLE_FREQ)
     record = read_record(record_name)
+    chop = (
+        segment_interval_device
+        if getattr(params, "data_backend", "host") == "device"
+        else segment_interval
+    )
     segments = []
     for start, stop in get_chamber_intervals(record_name, params.chamber):
         scg_signal = get_channels(record, params.in_channels, start, stop)
         rhc_signal = get_channels(record, ["RHC_pressure"], start, stop)
         segments.extend(
-            segment_interval(
-                scg_signal, rhc_signal, segment_samples, params.min_RHC, record_name
-            )
+            chop(scg_signal, rhc_signal, segment_samples, params.min_RHC, record_name)
         )
     return segments

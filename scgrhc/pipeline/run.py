@@ -70,6 +70,11 @@ def dispatch(argv: list[str]) -> int:
         dirs = write_experiments(root, **overrides)
         results = run_sweep(dirs, jobs=jobs)
         return 0 if all(c == 0 for c in results.values()) else 1
+    if cmd == "report":
+        from scgrhc.pipeline import report
+
+        report.run(argv[1] if len(argv) > 1 else ".")
+        return 0
     if cmd == "predict":
         # scgrhc predict <dir> <record> [checkpoint=best] [--overlap S]
         from scgrhc.pipeline import predict

@@ -64,6 +64,38 @@ def test_padding_to_block_multiple_is_dropped():
     assert keep.shape == (9,) and scg_n.shape == (9, 3, T) and mm_r.shape == (9, 2)
 
 
+def test_data_backend_device_matches_host(use_synth_db, tmp_path):
+    """get_segments with data_backend='device' (Pallas gate) emits the same
+    segments as the host float64 path on the synthetic DB."""
+    import json
+
+    from scgrhc.core.params import Params
+    from scgrhc.dsp.segment import get_segments
+
+    cfg = {
+        "dir_path": str(tmp_path), "in_channels": ["patch_ACC_lat"],
+        "chamber": "PA", "segment_size": 1.5, "batch_size": 8,
+        "train_path": "t.pickle", "valid_path": "v.pickle",
+        "test_path": "s.pickle", "checkpoint_dir_path": "c",
+        "comparison_dir_path": "co", "pred_top_dir_path": "p1",
+        "pred_rand_dir_path": "p2", "alpha": 1e-4, "beta1": 0.5,
+        "beta2": 0.999, "n_critic": 2, "lambda_gp": 10, "lambda_aux": 100,
+        "total_epochs": 1, "min_RHC": -50, "use_global_min_max": False,
+    }
+    p = tmp_path / "params.json"
+    p.write_text(json.dumps(cfg))
+    host = get_segments(Params(str(p)))
+    cfg["data_backend"] = "device"
+    p.write_text(json.dumps(cfg))
+    dev = get_segments(Params(str(p)))
+    assert len(host) == len(dev) and len(host) > 0
+    for a, b in zip(host, dev):
+        assert (a.record_name, a.start_idx, a.stop_idx) == (
+            b.record_name, b.start_idx, b.stop_idx)
+        np.testing.assert_array_equal(a.rhc, b.rhc)
+        np.testing.assert_array_equal(a.scg, b.scg)
+
+
 def test_segment_record_on_device():
     rng = np.random.default_rng(1)
     L = T * 5 + 123  # tail truncated
