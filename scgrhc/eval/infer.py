@@ -47,6 +47,8 @@ def predict_split(
     n = len(store)
     mm = jnp.asarray(store.minmax_rhc)
     batch = max(1, min(batch, n))
+    if sharding is not None and batch % sharding.mesh.devices.size != 0:
+        sharding = None  # shrunken chunk no longer divides the mesh
     if jnp.dtype(dtype) != jnp.float32:
         g_params = generator.cast_params(g_params, jnp.dtype(dtype))
 

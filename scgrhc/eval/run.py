@@ -36,6 +36,17 @@ CSV_COLUMNS = [
 ]
 
 
+def _auto_sharding(batch: int):
+    """Shard eval chunks over all local chips when the chunk divides evenly
+    (multi-chip hosts get data-parallel eval with zero configuration)."""
+    n = jax.device_count()
+    if n > 1 and batch % n == 0:
+        from scgrhc.parallel.mesh import batch_sharding, make_mesh
+
+        return batch_sharding(make_mesh())
+    return None
+
+
 def get_processed_checkpoints(comp_dir_path: str) -> frozenset:
     """Checkpoints already scored in this directory
     (reference: waveform_test.py:89-93)."""
@@ -149,7 +160,8 @@ def run(params, loader_type: str, checkpoint_path: str) -> None:
 
         with trace(f"eval_{loader_type}"):
             comparisons = get_waveform_comparisons(
-                g_params, loader, batch=params.eval_batch, dtype=params.dtype
+                g_params, loader, batch=params.eval_batch, dtype=params.dtype,
+                sharding=_auto_sharding(params.eval_batch),
             )
         comparisons.sort(key=lambda c: c["pcc_r"], reverse=True)
 

@@ -115,6 +115,23 @@ def test_predict_split_bfloat16(g_setup):
     assert (r > 0.99).all()
 
 
+def test_predict_split_sharded_matches(g_setup):
+    """Eval chunks sharded over the 8-device mesh == unsharded results
+    (the eval stage auto-shards on multi-chip hosts)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from scgrhc.parallel.mesh import batch_sharding, make_mesh
+
+    _, state, _ = g_setup
+    store = _random_store(n=16, seed=3)  # batch 8 divides the mesh
+    sh = batch_sharding(make_mesh(8))
+    r1, p1, s1 = predict_split(state.g_params, store, batch=8)
+    r2, p2, s2 = predict_split(state.g_params, store, batch=8, sharding=sh)
+    # GSPMD partitioning reorders conv reductions: ~1e-4 f32 jitter
+    np.testing.assert_allclose(p1, p2, atol=5e-4)
+    np.testing.assert_allclose(s1["pcc_r"], s2["pcc_r"], atol=1e-3)
+
+
 def test_predict_split_denorm(g_setup):
     """Real waveform comes back as reverse_minmax of the stored normalized
     rhc (reference: waveform_test.py:21-25,64)."""
