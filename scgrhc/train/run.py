@@ -89,6 +89,27 @@ def run(params, plot: bool = True) -> None:
         )
 
 
+def _auto_dp_place(state, scg_b, rhc_b, bs: int):
+    """Data-parallel placement for multi-chip hosts: replicate the train
+    state and shard each step's batch dim across all local devices (GSPMD
+    inserts the gradient all-reduce over ICI).  Returns None on one chip
+    or when the batch doesn't divide the mesh."""
+    n = jax.device_count()
+    if n <= 1 or bs % n != 0:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from scgrhc.parallel.mesh import make_mesh, replicate
+
+    mesh = make_mesh()
+    batch_sh = NamedSharding(mesh, P(None, mesh.axis_names[0]))
+    return (
+        replicate(mesh, state),
+        jax.device_put(scg_b, batch_sh),
+        jax.device_put(rhc_b, batch_sh),
+    )
+
+
 def _run_epoch_step_mode(params, cfg, state, train_loader, rng, epoch):
     """Reference-style loop: one jitted program per batch.  Yields
     (batch_index, d_losses (n_critic,), g_loss) as floats arrive."""
@@ -120,12 +141,13 @@ def _run_epoch_scan_mode(params, cfg, state, train_loader, rng, epoch):
     out = []
     if nb:
         idx = order[: nb * bs]
-        scg_b = store.scg[idx].reshape(nb, bs, *store.scg.shape[1:])
-        rhc_b = store.rhc[idx].reshape(nb, bs, *store.rhc.shape[1:])
+        scg_b = jnp.asarray(store.scg[idx].reshape(nb, bs, *store.scg.shape[1:]))
+        rhc_b = jnp.asarray(store.rhc[idx].reshape(nb, bs, *store.rhc.shape[1:]))
+        placed = _auto_dp_place(state, scg_b, rhc_b, bs)
+        if placed is not None:
+            state, scg_b, rhc_b = placed
         with annotate("train_epoch"):
-            state, d_hist, g_hist = train_epoch(
-                state, jnp.asarray(scg_b), jnp.asarray(rhc_b), epoch_rng, cfg
-            )
+            state, d_hist, g_hist = train_epoch(state, scg_b, rhc_b, epoch_rng, cfg)
         d_hist = np.asarray(d_hist)
         g_hist = np.asarray(g_hist)
         for i in range(nb):

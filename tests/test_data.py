@@ -122,6 +122,32 @@ def _tiny_store(n=10, c=3, t=750, seed=0):
     )
 
 
+def test_global_minmax_normalization():
+    """use_global_min_max=True: every segment normalized with the cohort
+    min/max (reference: recordutil.py:152-169,186)."""
+    import numpy as np
+
+    from scgrhc.data.store import SegmentStore, get_global_minmax_vals
+    from scgrhc.dsp.segment import Segment
+
+    rng = np.random.default_rng(0)
+    segs = [
+        Segment(rng.uniform(-i - 1, i + 1, (750, 2)),
+                rng.uniform(-10 * (i + 1), 10 * (i + 1), (750, 1)), f"r{i}", 0, 750)
+        for i in range(3)
+    ]
+    mm_scg, mm_rhc = get_global_minmax_vals(segs)
+    assert mm_rhc[0] == min(float(s.rhc.min()) for s in segs)
+    assert mm_rhc[1] == max(float(s.rhc.max()) for s in segs)
+
+    store = SegmentStore.from_segments(segs, 1.5, mm_scg, mm_rhc)
+    # all segments share the same stored minmax...
+    assert (store.minmax_rhc == store.minmax_rhc[0]).all()
+    # ...and denormalizing with it recovers the raw signal
+    rec = store.rhc[2, 0] * (mm_rhc[1] - mm_rhc[0] + 1e-4) + mm_rhc[0]
+    np.testing.assert_allclose(rec, segs[2].rhc[:, 0], atol=1e-4)
+
+
 def test_loader_batching_and_roundtrip(tmp_path):
     store = _tiny_store(n=10)
     loader = SegmentLoader(store, batch_size=4, shuffle=True, seed=0)

@@ -57,6 +57,29 @@ def test_dp_train_step_matches_single_device(mesh8):
     )
 
 
+def test_auto_dp_place_and_epoch_scan(mesh8):
+    """The train stage's automatic DP placement: state replicated, batch
+    dim sharded; a scanned epoch runs on the placed arrays."""
+    from scgrhc.train.run import _auto_dp_place
+    from scgrhc.train.wgan import train_epoch
+
+    cfg = TrainConfig(n_critic=1)
+    state = init_state(jax.random.key(0), 1, cfg)
+    rng = np.random.default_rng(1)
+    scg_b = jnp.asarray(rng.random((2, 8, 1, T)), jnp.float32)
+    rhc_b = jnp.asarray(rng.random((2, 8, 1, T)), jnp.float32)
+
+    assert _auto_dp_place(state, scg_b, rhc_b, bs=9) is None  # 9 % 8 != 0
+    placed = _auto_dp_place(state, scg_b, rhc_b, bs=8)
+    assert placed is not None
+    p_state, p_scg, p_rhc = placed
+    assert len(p_scg.sharding.device_set) == 8
+
+    new_state, d_hist, g_hist = train_epoch(p_state, p_scg, p_rhc,
+                                            jax.random.key(2), cfg)
+    assert np.isfinite(np.asarray(g_hist)).all()
+
+
 def test_frame_record_matches_reference_chopping():
     """Framing == the reference's non-overlapping window chop
     (recordutil.py:141-148), truncating the tail."""
