@@ -17,7 +17,12 @@ def main(argv: list[str] | None = None) -> int:
             "       scgrhc train <dir_name>          train WGAN-GP\n"
             "       scgrhc test <dir_name> <split> <ckpt|all|last>\n"
             "       scgrhc select <dir_name>         score/select checkpoints\n"
-            "       scgrhc summary                   cohort statistics report"
+            "       scgrhc summary                   cohort statistics report\n"
+            "       scgrhc predict <dir> <record> [ckpt|best|last] [--overlap S]\n"
+            "                                        whole-record RHC synthesis\n"
+            "       scgrhc sweep [root] [--jobs N] [--epochs E] [--seed S]\n"
+            "                                        generate+run waveform_06..37\n"
+            "       scgrhc report [root]             ranked sweep results table"
         )
         return 0
     from scgrhc.pipeline.run import dispatch
