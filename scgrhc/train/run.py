@@ -129,7 +129,7 @@ def _run_epoch_scan_mode(params, cfg, state, train_loader, rng, epoch):
     any, runs as one extra step.  Per-batch losses come back afterwards,
     so observable outputs (loss histories, prints, plots, checkpoints)
     match step mode's."""
-    from scgrhc.train.wgan import train_epoch
+    from scgrhc.train.wgan import train_epoch, train_epoch_gather
 
     store = train_loader.dataset
     bs = train_loader.batch_size
@@ -140,14 +140,31 @@ def _run_epoch_scan_mode(params, cfg, state, train_loader, rng, epoch):
 
     out = []
     if nb:
-        idx = order[: nb * bs]
-        scg_b = jnp.asarray(store.scg[idx].reshape(nb, bs, *store.scg.shape[1:]))
-        rhc_b = jnp.asarray(store.rhc[idx].reshape(nb, bs, *store.rhc.shape[1:]))
-        placed = _auto_dp_place(state, scg_b, rhc_b, bs)
+        placed = None
+        if jax.device_count() > 1 and bs % jax.device_count() == 0:
+            # multi-chip: stage this epoch's batches with the batch dim
+            # sharded (the gather path would need a sharded-gather layout)
+            idx = order[: nb * bs]
+            scg_b = jnp.asarray(store.scg[idx].reshape(nb, bs, *store.scg.shape[1:]))
+            rhc_b = jnp.asarray(store.rhc[idx].reshape(nb, bs, *store.rhc.shape[1:]))
+            placed = _auto_dp_place(state, scg_b, rhc_b, bs)
         if placed is not None:
             state, scg_b, rhc_b = placed
-        with annotate("train_epoch"):
-            state, d_hist, g_hist = train_epoch(state, scg_b, rhc_b, epoch_rng, cfg)
+            with annotate("train_epoch"):
+                state, d_hist, g_hist = train_epoch(
+                    state, scg_b, rhc_b, epoch_rng, cfg
+                )
+        else:
+            # single chip: the store lives in HBM once; only the epoch's
+            # (nb, B) permutation crosses host→device
+            scg_all, rhc_all = store.device_arrays()
+            idx = jnp.asarray(
+                order[: nb * bs].reshape(nb, bs).astype("int32")
+            )
+            with annotate("train_epoch"):
+                state, d_hist, g_hist = train_epoch_gather(
+                    state, scg_all, rhc_all, idx, epoch_rng, cfg
+                )
         d_hist = np.asarray(d_hist)
         g_hist = np.asarray(g_hist)
         for i in range(nb):

@@ -166,3 +166,28 @@ def train_epoch(state: TrainState, scg_batches, rhc_batches, rng, cfg: TrainConf
         body, state, (scg_batches, rhc_batches, keys)
     )
     return state, d_hist, g_hist
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def train_epoch_gather(
+    state: TrainState, scg_all, rhc_all, order, rng, cfg: TrainConfig
+):
+    """Epoch scan that gathers batches from the HBM-resident store.
+
+    ``scg_all``/``rhc_all`` are the FULL split arrays, uploaded once and
+    reused every epoch; ``order`` is the (nb, B) int32 permutation for
+    this epoch.  Only the permutation (a few KB) crosses host→device per
+    epoch instead of re-staging the whole shuffled dataset (~MBs/epoch ×
+    250 epochs).  Step math identical to :func:`train_step`.
+    """
+    keys = jax.random.split(rng, order.shape[0])
+
+    def body(st, xs):
+        idx, key = xs
+        st, d_losses, g_loss = _train_step_impl(
+            st, scg_all[idx], rhc_all[idx], key, cfg
+        )
+        return st, (d_losses, g_loss)
+
+    state, (d_hist, g_hist) = jax.lax.scan(body, state, (order, keys))
+    return state, d_hist, g_hist

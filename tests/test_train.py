@@ -215,6 +215,39 @@ def test_train_epoch_scan_matches_sequential_steps(tiny_setup):
     )
 
 
+def test_train_epoch_gather_matches_prestacked(tiny_setup):
+    """The HBM-resident gather path == pre-stacked batches (same data,
+    same keys; only the permutation crosses host→device)."""
+    from scgrhc.train.wgan import train_epoch, train_epoch_gather
+
+    cfg, state, scg, rhc = tiny_setup
+    cfg = cfg._replace(alpha=1e-6)
+    rng = np.random.default_rng(9)
+    N, bs, nb = 8, 2, 3  # uses 6 of 8 segments, permuted
+    scg_all = jnp.asarray(rng.random((N, 1, T)), jnp.float32)
+    rhc_all = jnp.asarray(rng.random((N, 1, T)), jnp.float32)
+    order = np.array([[5, 2], [7, 0], [3, 6]], dtype=np.int32)
+    key = jax.random.key(4)
+
+    s1, d1, g1 = train_epoch(
+        _clone(state),
+        scg_all[order.reshape(-1)].reshape(nb, bs, 1, T),
+        rhc_all[order.reshape(-1)].reshape(nb, bs, 1, T),
+        key, cfg,
+    )
+    s2, d2, g2 = train_epoch_gather(
+        _clone(state), scg_all, rhc_all, jnp.asarray(order), key, cfg
+    )
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-3)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4
+        ),
+        s1.g_params, s2.g_params,
+    )
+
+
 def test_resume_from_genuine_torch_checkpoint(tmp_path):
     """A reference-style torch.save checkpoint (real torch Adam state, torch
     param-id ordering) restores with Adam moments mapped to the right
