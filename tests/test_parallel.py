@@ -108,6 +108,32 @@ def test_stream_infer_overlap_blend():
     assert out.ndim == 1 and np.isfinite(out).all()
 
 
+def test_tp_sharded_forward_matches(mesh8):
+    """Generator forward with TP-annotated params (out-channels on the
+    'model' axis of a 2x4 DP x TP mesh) == replicated forward."""
+    from scgrhc.parallel.tp import make_dp_tp_mesh, param_pspecs, shard_params
+
+    g = init_state(jax.random.key(0), 2, TrainConfig()).g_params
+    mesh = make_dp_tp_mesh(dp=2, tp=4)
+
+    specs = param_pspecs(g, tp_size=4)
+    # conv weights with >=4 out channels are sharded; 1-channel heads not
+    assert specs["enc1"]["conv1"]["w"] == jax.sharding.PartitionSpec(
+        "model", None, None)
+    assert specs["final"]["w"] == jax.sharding.PartitionSpec(None, None, None)
+    assert specs["att3"]["psi"]["w"] == jax.sharding.PartitionSpec(
+        None, None, None)
+
+    g_tp = shard_params(g, mesh)
+    assert len(g_tp["enc1"]["conv1"]["w"].sharding.device_set) == 8
+
+    x = jnp.asarray(np.random.default_rng(5).random((4, 2, T)), jnp.float32)
+    fwd = jax.jit(lambda p, a: generator.apply(p, a, train=False))
+    ref = fwd(g, x)
+    out = fwd(g_tp, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4)
+
+
 def test_sharded_eval_forward_matches(mesh8):
     g = init_state(jax.random.key(0), 2, TrainConfig()).g_params
     x = jnp.asarray(np.random.default_rng(4).random((16, 2, T)), jnp.float32)
