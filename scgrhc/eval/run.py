@@ -133,17 +133,20 @@ def run(params, loader_type: str, checkpoint_path: str) -> None:
     os.makedirs(comp_dir_path, exist_ok=True)
     processed_checkpoints = get_processed_checkpoints(comp_dir_path)
 
-    for i, ckpt_name in enumerate(checkpoint_paths):
-        print(
-            timelog(
-                f"waveform_test | {params.dir_path} | {loader_type} | "
-                f"{checkpoint_message} | {i}/{len(checkpoint_paths)}",
-                start_time,
-            )
-        )
-        if f"{ckpt_name.split('.')[0]}.checkpoint" in processed_checkpoints:
-            continue
+    # Pipeline checkpoint IO with device compute: while checkpoint i is
+    # being scored on device, a background thread reads checkpoint i+1
+    # from disk (the reference reloads serially per checkpoint,
+    # waveform_test.py:142-145; with 250 per-epoch checkpoints the loads
+    # are a significant serial tax).
+    from concurrent.futures import ThreadPoolExecutor
 
+    todo = [
+        name
+        for name in checkpoint_paths
+        if f"{name.split('.')[0]}.checkpoint" not in processed_checkpoints
+    ]
+
+    def load_g_params(ckpt_name):
         full_path = os.path.join(params.checkpoint_dir_path, ckpt_name)
         if orbax_io.is_orbax_checkpoint(full_path):
             from scgrhc.train.wgan import TrainConfig
@@ -151,12 +154,27 @@ def run(params, loader_type: str, checkpoint_path: str) -> None:
             _, state = orbax_io.load(
                 full_path, TrainConfig.from_params(params), len(params.in_channels)
             )
-            g_params = jax.tree.map(np.asarray, state.g_params)
-        else:
-            ckpt = ckpt_io.load(full_path)
-            g_params = jax.tree.map(
-                np.asarray, torch_compat.generator_from_torch_sd(ckpt["g_state_dict"])
+            return jax.tree.map(np.asarray, state.g_params)
+        ckpt = ckpt_io.load(full_path)
+        return jax.tree.map(
+            np.asarray, torch_compat.generator_from_torch_sd(ckpt["g_state_dict"])
+        )
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    pending = pool.submit(load_g_params, todo[0]) if todo else None
+
+    for i, ckpt_name in enumerate(todo):
+        print(
+            timelog(
+                f"waveform_test | {params.dir_path} | {loader_type} | "
+                f"{checkpoint_message} | {i}/{len(todo)}",
+                start_time,
             )
+        )
+        g_params = pending.result()
+        pending = (
+            pool.submit(load_g_params, todo[i + 1]) if i + 1 < len(todo) else None
+        )
 
         with trace(f"eval_{loader_type}"):
             comparisons = get_waveform_comparisons(
@@ -171,3 +189,5 @@ def run(params, loader_type: str, checkpoint_path: str) -> None:
         pd.DataFrame(comparisons, columns=CSV_COLUMNS).to_csv(
             comparison_path, index=False
         )
+
+    pool.shutdown(wait=False)
