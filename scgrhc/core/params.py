@@ -94,6 +94,10 @@ class Params:
         # "host" = float64 NumPy noise gate (bit-exact dataset builds);
         # "device" = fused Pallas gate kernel (scgrhc.ops.pallas.dsp)
         self.data_backend = d.get("data_backend", "host")
+        # True trains a textbook conditional WGAN (adversarial term scores
+        # the prediction) instead of reproducing the reference's
+        # zero-gradient quirk (waveform_train.py:376)
+        self.fix_g_adversarial = d.get("fix_g_adversarial", False)
 
     @staticmethod
     def init_json(path: str) -> dict[str, Any]:

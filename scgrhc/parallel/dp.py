@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import jax
 
-from scgrhc.parallel.mesh import batch_sharding, make_mesh, replicate, shard_batch
+from scgrhc.parallel.mesh import make_mesh, replicate, shard_batch
 from scgrhc.train.wgan import TrainConfig, train_step
 
 

@@ -70,6 +70,14 @@ def dispatch(argv: list[str]) -> int:
         dirs = write_experiments(root, **overrides)
         results = run_sweep(dirs, jobs=jobs)
         return 0 if all(c == 0 for c in results.values()) else 1
+    if cmd == "plots":
+        # scgrhc plots <dir> <split> <ckpt|best> [n]
+        from scgrhc.pipeline import plots, predict
+
+        params = Params(os.path.join(argv[1], "params.json"))
+        ckpt = predict.resolve_checkpoint(params, argv[3])
+        plots.run(params, argv[2], ckpt, n=int(argv[4]) if len(argv) > 4 else 5)
+        return 0
     if cmd == "report":
         from scgrhc.pipeline import report
 

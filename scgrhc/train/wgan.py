@@ -44,6 +44,10 @@ class TrainConfig(NamedTuple):
     alpha: float = 1e-4
     beta1: float = 0.5
     beta2: float = 0.999
+    # False reproduces the reference quirk (waveform_train.py:376: the
+    # adversarial term scores the REAL rhc → zero generator gradient);
+    # True feeds the prediction — textbook conditional WGAN-GP.
+    fix_g_adversarial: bool = False
 
     @classmethod
     def from_params(cls, params) -> "TrainConfig":
@@ -54,6 +58,7 @@ class TrainConfig(NamedTuple):
             alpha=float(params.alpha),
             beta1=float(params.beta1),
             beta2=float(params.beta2),
+            fix_g_adversarial=bool(getattr(params, "fix_g_adversarial", False)),
         )
 
 
@@ -107,9 +112,11 @@ def critic_loss(d_params, g_params, scg, rhc, drop_rng, eps_rng, cfg: TrainConfi
 
 def generator_loss(g_params, d_params, scg, rhc, drop_rng, cfg: TrainConfig):
     pred_rhc = generator.apply(g_params, scg, rng=drop_rng, train=True)
-    # Reference quirk: adversarial term scores the REAL rhc
-    # (waveform_train.py:376) — constant w.r.t. g_params.
-    pred_validity = critic.apply(d_params, jnp.concatenate((scg, rhc), axis=1))
+    # Reference quirk (default): adversarial term scores the REAL rhc
+    # (waveform_train.py:376) — constant w.r.t. g_params.  With
+    # fix_g_adversarial it scores the prediction (true conditional WGAN).
+    adv_input = pred_rhc if cfg.fix_g_adversarial else rhc
+    pred_validity = critic.apply(d_params, jnp.concatenate((scg, adv_input), axis=1))
     mse = jnp.mean(jnp.square(pred_rhc - rhc))
     return -jnp.mean(pred_validity) + cfg.lambda_aux * mse
 

@@ -204,6 +204,20 @@ def test_eval_stage_writes_reference_csv(exp_dir):
     assert os.path.getmtime(os.path.join(comp, "000.csv")) == mtime
 
 
+def test_plots_stage(exp_dir):
+    """Top-N / random-N comparison figures land in pred_top / pred_rand
+    (the reference configs name these dirs but never fill them)."""
+    from scgrhc.eval import run as eval_run
+    from scgrhc.pipeline import plots
+
+    eval_run.run(exp_dir, "valid", "all")
+    out = plots.run(exp_dir, "valid", "000.checkpoint", n=2)
+    assert len(out) == 4
+    assert len(os.listdir(exp_dir.pred_top_dir_path)) == 2
+    assert len(os.listdir(exp_dir.pred_rand_dir_path)) == 2
+    assert all(p.endswith(".png") and os.path.getsize(p) > 0 for p in out)
+
+
 def test_select_stage_and_pipeline_handshake(exp_dir):
     import pandas as pd
 

@@ -139,6 +139,30 @@ def test_generator_adversarial_term_zero_grad(tiny_setup):
     )
 
 
+def test_fix_g_adversarial_changes_gradient(tiny_setup):
+    """With fix_g_adversarial the generator DOES receive adversarial
+    gradient (unlike the reference quirk, tested zero above)."""
+    from scgrhc.train.wgan import generator_loss
+
+    cfg, state, scg, rhc = tiny_setup
+    cfg_fix = cfg._replace(fix_g_adversarial=True)
+    rng = jax.random.key(3)
+    fixed = jax.grad(generator_loss)(
+        state.g_params, state.d_params, scg, rhc, rng, cfg_fix
+    )
+
+    def mse_only(g_params):
+        pred = generator.apply(g_params, scg, rng=rng, train=True)
+        return cfg.lambda_aux * jnp.mean(jnp.square(pred - rhc))
+
+    mse_grad = jax.grad(mse_only)(state.g_params)
+    diff = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()), fixed, mse_grad),
+    )
+    assert diff > 1e-3  # adversarial term now contributes
+
+
 def test_checkpoint_roundtrip(tmp_path, tiny_setup):
     cfg, state, scg, rhc = tiny_setup
     state2, _, _ = train_step(_clone(state), scg, rhc, jax.random.key(2), cfg)
