@@ -65,5 +65,6 @@ def save_dataloaders(params) -> None:
 
 def run(params) -> None:
     start_time = time()
-    print(timelog(f"Run data stage for {params.dir_path}", start_time))
+    # log-line parity with the reference stage banner (recordutil.py:229)
+    print(timelog(f"Run recordutil for {params.dir_path}", start_time))
     save_dataloaders(params)

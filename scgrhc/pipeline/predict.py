@@ -62,6 +62,34 @@ def load_generator_params(params, ckpt_name: str):
     )
 
 
+def _predict_continuous(g_params, scg, rhc_minmax):
+    """One whole-record pass: record-level joint min-max normalization,
+    then the continuous U-Net mode (CP-sharded when >1 chip and the
+    length divides the mesh)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scgrhc.models import cp as cp_mode
+    from scgrhc.parallel.mesh import TIME_AXIS, make_mesh
+
+    x = jnp.asarray(scg.T, jnp.float32)  # (C, L)
+    lo = jnp.min(x)
+    hi = jnp.max(x)
+    x = (x - lo) / (hi - lo + 1e-4)
+    n_dev = jax.device_count()
+    c, L = x.shape
+    if n_dev > 1 and L % n_dev == 0:
+        mesh = make_mesh(axis=TIME_AXIS)
+        y = cp_mode.apply_cp(g_params, x, mesh)
+    else:
+        y = cp_mode.apply_continuous(g_params, x.reshape(1, c, L))
+    out = np.asarray(y[0, 0, :])
+    if rhc_minmax is not None:
+        rlo, rhi = rhc_minmax
+        out = out * (rhi - rlo) + rlo
+    return out
+
+
 def run(
     params,
     record_name: str,
@@ -69,8 +97,15 @@ def run(
     overlap_s: float = 0.0,
     rhc_minmax: tuple[float, float] | None = None,
     out_dir: str | None = None,
+    continuous: bool = False,
 ) -> str:
-    """Predict one record's full RHC waveform; returns the .npy path."""
+    """Predict one record's full RHC waveform; returns the .npy path.
+
+    ``continuous=True`` uses the seam-free whole-record mode
+    (scgrhc.models.cp): one normalization over the record and one
+    U-Net pass over the entire sequence (time-sharded across chips when
+    several are present) instead of independent 1.5-s windows.
+    """
     start_time = time()
     ckpt_name = resolve_checkpoint(params, checkpoint)
     print(
@@ -87,13 +122,16 @@ def run(
 
     t = params.segment_samples
     overlap = int(overlap_s * SAMPLE_FREQ)
-    pred = stream_infer(
-        g_params,
-        scg.T.astype(np.float32),
-        segment_samples=t,
-        overlap=overlap,
-        rhc_minmax=rhc_minmax,
-    )
+    if continuous:
+        pred = _predict_continuous(g_params, scg, rhc_minmax)
+    else:
+        pred = stream_infer(
+            g_params,
+            scg.T.astype(np.float32),
+            segment_samples=t,
+            overlap=overlap,
+            rhc_minmax=rhc_minmax,
+        )
 
     out_dir = out_dir or os.path.join(params.dir_path, "predictions")
     os.makedirs(out_dir, exist_ok=True)
@@ -105,6 +143,7 @@ def run(
                 "record": record_name,
                 "checkpoint": ckpt_name,
                 "in_channels": params.in_channels,
+                "mode": "continuous" if continuous else "windowed",
                 "segment_samples": t,
                 "overlap_samples": overlap,
                 "denormalized": rhc_minmax is not None,

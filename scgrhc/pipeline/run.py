@@ -94,7 +94,10 @@ def dispatch(argv: list[str]) -> int:
         if "--overlap" in rest:
             overlap = float(rest[rest.index("--overlap") + 1])
         params = Params(os.path.join(dir_name, "params.json"))
-        predict.run(params, record_name, checkpoint=which, overlap_s=overlap)
+        predict.run(
+            params, record_name, checkpoint=which, overlap_s=overlap,
+            continuous="--continuous" in rest,
+        )
         return 0
     if cmd in ("data", "train", "test", "select"):
         dir_name = argv[1]

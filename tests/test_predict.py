@@ -65,6 +65,22 @@ def test_predict_overlap_and_denorm(exp_with_ckpt):
     assert meta["overlap_samples"] == 250 and meta["denormalized"]
 
 
+def test_predict_continuous_mode(exp_with_ckpt):
+    """Seam-free whole-record mode: full record length out, no window
+    truncation (uses models.cp; CP-sharded when L divides the mesh)."""
+    from scgrhc.pipeline import predict
+
+    out = predict.run(
+        exp_with_ckpt, "SYN000", checkpoint="last", continuous=True,
+        out_dir=str(exp_with_ckpt.dir_path) + "/pc",
+    )
+    pred = np.load(out)
+    assert pred.shape == (120 * 500,)  # full 120 s record, no truncation
+    assert np.isfinite(pred).all()
+    meta = json.load(open(out.replace(".npy", ".json")))
+    assert meta["mode"] == "continuous"
+
+
 def test_predict_best_handshake(exp_with_ckpt):
     from scgrhc.pipeline import predict
 
