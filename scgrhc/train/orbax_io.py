@@ -21,19 +21,42 @@ import jax
 ORBAX_SUFFIX = ".orbax"
 
 
+_shared_ckptr = None
+_meta_threads: list = []
+
+
 def _checkpointer():
-    import orbax.checkpoint as ocp
+    """One StandardCheckpointer per process (its background thread pool
+    enables async saves that overlap the next epoch's compute)."""
+    global _shared_ckptr
+    if _shared_ckptr is None:
+        import orbax.checkpoint as ocp
 
-    return ocp.StandardCheckpointer()
+        _shared_ckptr = ocp.StandardCheckpointer()
+    return _shared_ckptr
 
 
-def save(path: str, *, start_time, epoch, g_losses, d_losses, state) -> None:
+def wait() -> None:
+    """Block until any in-flight async save (arrays + meta) is durable."""
+    if _shared_ckptr is not None:
+        _shared_ckptr.wait_until_finished()
+    while _meta_threads:
+        _meta_threads.pop().join()
+
+
+def save(path: str, *, start_time, epoch, g_losses, d_losses, state,
+         block: bool = True) -> None:
     """Write an Orbax checkpoint directory at ``path + '.orbax'``.
 
     The array pytree goes through Orbax; the variable-length scalars
     (epoch, loss histories) go to a ``meta.json`` inside the directory —
     Orbax's abstract-tree restore needs static shapes, which loss
     histories don't have.
+
+    ``block=False`` returns once the arrays are snapshotted and lets the
+    write proceed in the background (Orbax commits atomically); callers
+    MUST :func:`wait` before relying on the file (the training loop does
+    at the end of its run).
     """
     import json
 
@@ -46,17 +69,35 @@ def save(path: str, *, start_time, epoch, g_losses, d_losses, state) -> None:
     out = os.path.abspath(path) + ORBAX_SUFFIX
     ckptr = _checkpointer()
     ckptr.save(out, tree, force=True)
-    ckptr.wait_until_finished()
-    with open(os.path.join(out, "meta.json"), "w") as f:
-        json.dump(
-            {
-                "start_time": float(start_time),
-                "epoch": int(epoch),
-                "g_losses": [float(x) for x in g_losses],
-                "d_losses": [float(x) for x in d_losses],
-            },
-            f,
-        )
+    if block:
+        ckptr.wait_until_finished()
+    # meta.json is tiny and written synchronously; readers treat the
+    # checkpoint as complete only once Orbax's atomic rename lands, which
+    # wait()/the next save() ensures before anything consumes it.
+    def _write_meta():
+        with open(os.path.join(out, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "start_time": float(start_time),
+                    "epoch": int(epoch),
+                    "g_losses": [float(x) for x in g_losses],
+                    "d_losses": [float(x) for x in d_losses],
+                },
+                f,
+            )
+
+    if block:
+        _write_meta()
+    else:
+        import threading
+
+        def _bg():
+            ckptr.wait_until_finished()
+            _write_meta()
+
+        th = threading.Thread(target=_bg, daemon=True)
+        th.start()
+        _meta_threads.append(th)
 
 
 def load(path: str, cfg, in_channels: int):

@@ -223,17 +223,21 @@ def _train_loop(
                         params.dir_path,
                     )
 
-        save_fn = (
-            orbax_io.save
-            if getattr(params, "checkpoint_backend", "reference") == "orbax"
-            else ckpt_io.save
+        ckpt_path = os.path.join(
+            params.checkpoint_dir_path, f"{epoch:03d}.checkpoint"
         )
-        save_fn(
-            os.path.join(params.checkpoint_dir_path, f"{epoch:03d}.checkpoint"),
-            start_time=start_time,
-            epoch=epoch,
-            g_losses=g_losses,
-            d_losses=d_losses,
-            state=state,
-        )
+        if getattr(params, "checkpoint_backend", "reference") == "orbax":
+            # async: the write overlaps the next epoch's compute; flushed
+            # below before run() returns (eval reads right after)
+            orbax_io.save(
+                ckpt_path, start_time=start_time, epoch=epoch,
+                g_losses=g_losses, d_losses=d_losses, state=state, block=False,
+            )
+        else:
+            ckpt_io.save(
+                ckpt_path, start_time=start_time, epoch=epoch,
+                g_losses=g_losses, d_losses=d_losses, state=state,
+            )
         epoch += 1
+
+    orbax_io.wait()

@@ -34,6 +34,21 @@ def test_orbax_roundtrip(tmp_path, state1):
         restored.d_opt[0].mu, state.d_opt[0].mu)
 
 
+def test_orbax_async_save(tmp_path, state1):
+    """block=False returns early; wait() makes the checkpoint (arrays +
+    meta.json) durable and loadable."""
+    cfg, state = state1
+    path = str(tmp_path / "002.checkpoint")
+    orbax_io.save(path, start_time=1.0, epoch=2, g_losses=[9.0], d_losses=[],
+                  state=state, block=False)
+    orbax_io.wait()
+    ckpt, restored = orbax_io.load(path, cfg, 1)
+    assert ckpt["epoch"] == 2 and ckpt["g_losses"] == [9.0]
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        restored.g_params, state.g_params)
+
+
 def test_orbax_to_reference_shim(tmp_path, state1):
     cfg, state = state1
     path = str(tmp_path / "001.checkpoint")
