@@ -42,6 +42,39 @@ def test_wfdb_format_212(tmp_path):
     np.testing.assert_array_equal(rec.p_signal.reshape(-1), samples.astype(float))
 
 
+def test_multi_dat_record_and_header_comments(tmp_path):
+    """Signals split across two .dat files (WFDB group semantics) with
+    comment/blank lines in the header."""
+    import numpy as np
+
+    from scgrhc.io import wfdb as w
+
+    rng = np.random.default_rng(0)
+    a = rng.uniform(-5, 5, (400, 2))
+    b = rng.uniform(-5, 5, (400, 1))
+    # write two single-group records, then stitch a combined header
+    w.wrrecord(str(tmp_path / "ga"), fs=500, sig_names=["s0", "s1"],
+               p_signal=a, gain=200.0)
+    w.wrrecord(str(tmp_path / "gb"), fs=500, sig_names=["s2"],
+               p_signal=b, gain=200.0)
+    ga_lines = open(tmp_path / "ga.hea").read().splitlines()
+    gb_lines = open(tmp_path / "gb.hea").read().splitlines()
+    combined = [
+        "# a leading comment",
+        "multi 3 500 400",
+        "",
+        *ga_lines[1:],
+        "# interleaved comment",
+        *gb_lines[1:],
+    ]
+    (tmp_path / "multi.hea").write_text("\n".join(combined) + "\n")
+
+    rec = w.rdrecord(str(tmp_path / "multi"))
+    assert rec.sig_name == ["s0", "s1", "s2"]
+    np.testing.assert_allclose(rec.p_signal[:, :2], a, atol=1 / 200.0)
+    np.testing.assert_allclose(rec.p_signal[:, 2:], b, atol=1 / 200.0)
+
+
 def test_chamber_intervals_semantics():
     """Interval = (event, next event of ANY chamber), END appended from Mac
     times, label prefix match (reference: recordutil.py:93-110)."""
