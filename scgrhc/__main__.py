@@ -22,7 +22,9 @@ def main(argv: list[str] | None = None) -> int:
             "                                        whole-record RHC synthesis\n"
             "       scgrhc sweep [root] [--jobs N] [--epochs E] [--seed S]\n"
             "                                        generate+run waveform_06..37\n"
-            "       scgrhc report [root]             ranked sweep results table"
+            "       scgrhc report [root]             ranked sweep results table\n"
+            "       scgrhc plots <dir> <split> <ckpt|best> [n]\n"
+            "                                        pred_top/pred_rand figures"
         )
         return 0
     from scgrhc.pipeline.run import dispatch
