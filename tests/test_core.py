@@ -83,3 +83,25 @@ def test_timelog_format():
     start = time.time() - 3723  # 1h 2m 3s ago
     line = timelog("hello", start)
     assert re.search(r"\| 01:02:0[34] \| hello$", line)
+
+
+def test_clear_and_clear_comparisons_valid(tmp_path, monkeypatch, capsys):
+    """Directory cleanup utilities (reference: pathutil.py:9-19)."""
+    import os
+
+    from scgrhc.core import paths
+
+    d = tmp_path / "stale"
+    os.makedirs(d / "sub")
+    (d / "sub" / "x.txt").write_text("x")
+    paths.clear([str(d), str(tmp_path / "absent")])
+    assert os.path.isdir(d) and not os.listdir(d)  # recreated empty
+    assert f"Cleared {d}" in capsys.readouterr().out
+
+    # clear_comparisons_valid wipes every experiment's comparisons/valid
+    exp = tmp_path / "waveform_99"
+    os.makedirs(exp / "comparisons" / "valid")
+    (exp / "comparisons" / "valid" / "000.csv").write_text("a")
+    monkeypatch.chdir(tmp_path)
+    paths.clear_comparisons_valid()
+    assert os.listdir(exp / "comparisons" / "valid") == []
