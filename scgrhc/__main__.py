@@ -24,7 +24,9 @@ def main(argv: list[str] | None = None) -> int:
             "                                        generate+run waveform_06..37\n"
             "       scgrhc report [root]             ranked sweep results table\n"
             "       scgrhc plots <dir> <split> <ckpt|best> [n]\n"
-            "                                        pred_top/pred_rand figures"
+            "                                        pred_top/pred_rand figures\n"
+            "       scgrhc demo [dir] [--epochs N] [--records N] [--seconds S]\n"
+            "                                        zero-setup synthetic E2E demo"
         )
         return 0
     from scgrhc.pipeline.run import dispatch

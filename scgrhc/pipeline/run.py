@@ -70,6 +70,24 @@ def dispatch(argv: list[str]) -> int:
         dirs = write_experiments(root, **overrides)
         results = run_sweep(dirs, jobs=jobs)
         return 0 if all(c == 0 for c in results.values()) else 1
+    if cmd == "demo":
+        from scgrhc.pipeline import demo
+
+        workdir = argv[1] if len(argv) > 1 and not argv[1].startswith("--") else "scgrhc_demo"
+        kw = {}
+        rest = argv[2:] if workdir != "scgrhc_demo" or (len(argv) > 1 and argv[1] == "scgrhc_demo") else argv[1:]
+        i = 0
+        while i < len(rest):
+            if rest[i] == "--epochs":
+                kw["epochs"] = int(rest[i + 1]); i += 2
+            elif rest[i] == "--records":
+                kw["n_records"] = int(rest[i + 1]); i += 2
+            elif rest[i] == "--seconds":
+                kw["duration_s"] = float(rest[i + 1]); i += 2
+            else:
+                raise SystemExit(f"unknown demo flag {rest[i]}")
+        demo.run(workdir, **kw)
+        return 0
     if cmd == "plots":
         # scgrhc plots <dir> <split> <ckpt|best> [n]
         from scgrhc.pipeline import plots, predict

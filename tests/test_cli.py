@@ -9,7 +9,7 @@ def test_help(capsys):
     assert main(["--help"]) == 0
     out = capsys.readouterr().out
     for cmd in ("data", "train", "test", "select", "summary", "predict",
-                "sweep", "report", "plots"):
+                "sweep", "report", "plots", "demo"):
         assert cmd in out
 
 
