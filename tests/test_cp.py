@@ -38,6 +38,7 @@ def test_continuous_runs_and_is_length_preserving(g_params):
     assert np.isfinite(np.asarray(y)).all()
 
 
+@pytest.mark.slow
 def test_cp_sharded_equals_continuous(g_params):
     """8-way time-sharded forward (halo exchange + psum'd InstanceNorm
     moments) == the single-device continuous forward."""

@@ -35,6 +35,7 @@ def tiny_experiment(tmp_path, monkeypatch):
     return d
 
 
+@pytest.mark.slow
 def test_pipeline_run_end_to_end(tiny_experiment, monkeypatch):
     """data → train → eval-valid(all) → select → eval-test(best), with the
     checkpoint_best.txt handshake (waveform_pipeline.py:26-28)."""

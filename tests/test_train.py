@@ -203,6 +203,7 @@ def test_checkpoint_torch_interop(tmp_path, tiny_setup):
         np.asarray(state.g_params["final"]["w"]))
 
 
+@pytest.mark.slow
 def test_train_epoch_scan_matches_sequential_steps(tiny_setup):
     """The whole-epoch lax.scan program == the same batches stepped one by
     one with the same per-batch keys (scgrhc.train.wgan.train_epoch)."""
@@ -239,6 +240,7 @@ def test_train_epoch_scan_matches_sequential_steps(tiny_setup):
     )
 
 
+@pytest.mark.slow
 def test_train_epoch_gather_matches_prestacked(tiny_setup):
     """The HBM-resident gather path == pre-stacked batches (same data,
     same keys; only the permutation crosses host→device)."""
@@ -345,6 +347,7 @@ def test_resume_from_genuine_torch_checkpoint(tmp_path):
     opt2.load_state_dict(back["g_optimizer_state_dict"])  # raises on mismatch
 
 
+@pytest.mark.slow
 def test_train_stage_and_resume(tmp_path, monkeypatch):
     """2-epoch stage run writes per-epoch checkpoints; a rerun with
     total_epochs=3 resumes from the last checkpoint (reference:
