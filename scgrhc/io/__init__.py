@@ -1,6 +1,6 @@
 from scgrhc.io.wfdb import Record, rdrecord, wrrecord
 from scgrhc.io.sidecar import get_chamber_intervals, read_sidecar
-from scgrhc.io.catalog import SAMPLE_FREQ, get_channels, get_record_names
+from scgrhc.io.catalog import SAMPLE_FREQ, get_channels, get_record_names, read_record
 
 __all__ = [
     "Record",
@@ -11,4 +11,5 @@ __all__ = [
     "SAMPLE_FREQ",
     "get_channels",
     "get_record_names",
+    "read_record",
 ]

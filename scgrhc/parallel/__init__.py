@@ -1,0 +1,16 @@
+"""Device-mesh parallelism: named axes (data/time/model), DP training,
+sequence-parallel streaming, TP hooks, and the comm layer (SURVEY §2.3-2.4)."""
+
+from scgrhc.parallel.mesh import (
+    DATA_AXIS,
+    TIME_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS", "TIME_AXIS", "make_mesh", "batch_sharding",
+    "replicate", "shard_batch",
+]
