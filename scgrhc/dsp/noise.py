@@ -52,6 +52,42 @@ def _r_squared_np(waveform: np.ndarray) -> float:
     return float(r * r)
 
 
+def get_flat_lines(
+    waveform: np.ndarray,
+    threshold: float = FLAT_THRESHOLD,
+    min_duration: float = FLAT_WINDOW_S,
+    sampling_rate: int = 500,
+) -> list[tuple[int, int]]:
+    """API-parity port of the reference's flat-segment lister
+    (reference: waveform_noise.py:6-26), without pandas.
+
+    Windows are indexed by their right edge like pandas ``rolling`` (the
+    NaN head never compares < threshold).  The segment-building loop —
+    including its quirks: the in-loop duplicate ``(start, last)`` appends
+    and the empty result for exactly one flat window — is reproduced
+    verbatim so outputs match element for element.
+    """
+    min_samples = int(min_duration * sampling_rate)
+    n = np.asarray(waveform).shape[-1]
+    if n < min_samples:
+        return []
+    w = np.lib.stride_tricks.sliding_window_view(waveform, min_samples, axis=-1)
+    rng_v = w.max(axis=-1) - w.min(axis=-1)
+    flat_indices = (np.nonzero(rng_v < threshold)[0] + min_samples - 1).tolist()
+
+    flat_segments: list[tuple[int, int]] = []
+    start = None
+    for i in range(len(flat_indices) - 1):
+        if start is None:
+            start = flat_indices[i]
+        if flat_indices[i + 1] != flat_indices[i] + 1:
+            flat_segments.append((start, flat_indices[i]))
+            start = None
+        if start is not None:
+            flat_segments.append((start, flat_indices[-1]))
+    return flat_segments
+
+
 def has_flat_lines(waveform: np.ndarray, sampling_rate: int = 500) -> bool:
     min_samples = int(FLAT_WINDOW_S * sampling_rate)
     return _flat_window_count_np(waveform, min_samples) >= 2

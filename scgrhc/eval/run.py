@@ -140,11 +140,10 @@ def run(params, loader_type: str, checkpoint_path: str) -> None:
     # are a significant serial tax).
     from concurrent.futures import ThreadPoolExecutor
 
-    todo = [
-        name
-        for name in checkpoint_paths
-        if f"{name.split('.')[0]}.checkpoint" not in processed_checkpoints
-    ]
+    def is_processed(name: str) -> bool:
+        return f"{name.split('.')[0]}.checkpoint" in processed_checkpoints
+
+    todo = [name for name in checkpoint_paths if not is_processed(name)]
 
     def load_g_params(ckpt_name):
         full_path = os.path.join(params.checkpoint_dir_path, ckpt_name)
@@ -162,19 +161,27 @@ def run(params, loader_type: str, checkpoint_path: str) -> None:
 
     pool = ThreadPoolExecutor(max_workers=1)
     pending = pool.submit(load_g_params, todo[0]) if todo else None
+    next_todo = 1
 
-    for i, ckpt_name in enumerate(todo):
+    for i, ckpt_name in enumerate(checkpoint_paths):
+        # log-line parity: the reference prints i/len over ALL checkpoints,
+        # including already-processed ones (waveform_test.py:138-140)
         print(
             timelog(
                 f"waveform_test | {params.dir_path} | {loader_type} | "
-                f"{checkpoint_message} | {i}/{len(todo)}",
+                f"{checkpoint_message} | {i}/{len(checkpoint_paths)}",
                 start_time,
             )
         )
+        if is_processed(ckpt_name):
+            continue
         g_params = pending.result()
         pending = (
-            pool.submit(load_g_params, todo[i + 1]) if i + 1 < len(todo) else None
+            pool.submit(load_g_params, todo[next_todo])
+            if next_todo < len(todo)
+            else None
         )
+        next_todo += 1
 
         with trace(f"eval_{loader_type}"):
             comparisons = get_waveform_comparisons(

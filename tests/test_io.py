@@ -105,3 +105,37 @@ def test_catalog_on_synth_db(use_synth_db):
     # Channel slicing respects requested order.
     lat = get_channels(rec, ["patch_ACC_lat"], 0, 1000)
     np.testing.assert_array_equal(scg[:, 0], lat[:, 0])
+
+
+def test_wfdb_roundtrip_fuzz(tmp_path):
+    """Randomized round-trip: formats x gains x baselines x channel counts;
+    native and NumPy decoders agree and recover to quantization error."""
+    import numpy as np
+
+    from scgrhc import native
+    from scgrhc.io import wfdb as w
+
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        fmt = ["16", "212"][trial % 2]
+        n_sig = int(rng.integers(1, 5))
+        n = int(rng.integers(10, 700))
+        gain = float(rng.uniform(50, 1000))
+        baseline = int(rng.integers(-100, 100))
+        lim = (2047 - abs(baseline)) / gain if fmt == "212" else \
+              (32000 - abs(baseline)) / gain
+        sig = rng.uniform(-lim, lim, (n, n_sig))
+        path = str(tmp_path / f"f{trial}")
+        w.wrrecord(path, fs=500, sig_names=[f"s{i}" for i in range(n_sig)],
+                   p_signal=sig, gain=gain, baseline=baseline, fmt=fmt)
+        rec = w.rdrecord(path)
+        # 0.5 ADC units of quantization + float round-off headroom
+        np.testing.assert_allclose(rec.p_signal, sig, atol=0.51 / gain)
+        if native.decode_calibrate is not None:
+            dc = native.decode_calibrate
+            try:
+                native.decode_calibrate = None
+                rec2 = w.rdrecord(path)
+            finally:
+                native.decode_calibrate = dc
+            np.testing.assert_array_equal(rec.p_signal, rec2.p_signal)

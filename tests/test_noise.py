@@ -100,3 +100,43 @@ def test_gate_windows_matches_per_window():
     keep = gate_windows(ws, min_rhc=-50)
     want = np.array([not oracle_has_noise(w) for w in ws])
     np.testing.assert_array_equal(keep, want)
+
+
+def test_get_flat_lines_matches_reference_pandas():
+    """Element-for-element parity with the reference's pandas
+    implementation, incl. its quirky duplicate appends
+    (waveform_noise.py:6-26)."""
+    import numpy as np
+    import pandas as pd
+
+    from scgrhc.dsp.noise import get_flat_lines
+
+    def reference(waveform, threshold=1e-3, min_duration=0.1, sampling_rate=500):
+        min_samples = int(min_duration * sampling_rate)
+        s = pd.Series(waveform)
+        rolling_diff = s.rolling(window=min_samples).max() - \
+            s.rolling(window=min_samples).min()
+        flat_indices = rolling_diff[rolling_diff < threshold].index
+        flat_segments = []
+        start = None
+        for i in range(len(flat_indices) - 1):
+            if start is None:
+                start = flat_indices[i]
+            if flat_indices[i + 1] != flat_indices[i] + 1:
+                flat_segments.append((start, flat_indices[i]))
+                start = None
+            if start is not None:
+                flat_segments.append((start, flat_indices[-1]))
+        return flat_segments
+
+    rng = np.random.default_rng(0)
+    cases = []
+    w = rng.standard_normal(750)
+    cases.append(w.copy())                       # no flats
+    w2 = w.copy(); w2[100:180] = 3.0; cases.append(w2)          # one flat run
+    w3 = w.copy(); w3[100:180] = 3.0; w3[400:490] = -1.0
+    cases.append(w3)                                            # two flat runs
+    w4 = np.zeros(750); cases.append(w4)                        # all flat
+    cases.append(rng.standard_normal(30))                       # shorter than window
+    for wv in cases:
+        assert get_flat_lines(wv) == reference(wv)
