@@ -248,7 +248,9 @@ def wrrecord(
             init_value = int(adc[0, j]) if sig_len else 0
             checksum = int(np.sum(adc[:, j], dtype=np.int64) & 0xFFFF)
             f.write(
-                f"{dat_name} {fmt} {gain:g}({baseline})/{units} "
+                # .12g: %g's default 6 significant digits would round the
+                # calibration gain enough to exceed quantization error
+                f"{dat_name} {fmt} {gain:.12g}({baseline})/{units} "
                 f"{16 if fmt == '16' else 12} {baseline} "
                 f"{init_value} {checksum} 0 {name}\n"
             )
