@@ -90,6 +90,19 @@ def _predict_continuous(g_params, scg, rhc_minmax):
     return out
 
 
+def cohort_rhc_minmax(params) -> tuple[float, float]:
+    """Calibration range from the experiment's train split: the joint
+    (min, max) over every training segment's stored RHC min/max — lets
+    prediction on a NEW record (no ground-truth RHC) emit mmHg-scale
+    pressures via the same reverse-minmax the eval stage uses
+    (waveform_test.py:21-25)."""
+    from scgrhc.data.loaders import load_dataloader
+
+    store = load_dataloader(params.train_path).dataset
+    mm = store.minmax_rhc
+    return float(mm[:, 0].min()), float(mm[:, 1].max())
+
+
 def run(
     params,
     record_name: str,
@@ -98,6 +111,7 @@ def run(
     rhc_minmax: tuple[float, float] | None = None,
     out_dir: str | None = None,
     continuous: bool = False,
+    calibrate: bool = False,
 ) -> str:
     """Predict one record's full RHC waveform; returns the .npy path.
 
@@ -116,6 +130,15 @@ def run(
         )
     )
     g_params = load_generator_params(params, ckpt_name)
+    if calibrate and rhc_minmax is None:
+        rhc_minmax = cohort_rhc_minmax(params)
+        print(
+            timelog(
+                f"waveform_predict | calibrated to train-cohort RHC range "
+                f"[{rhc_minmax[0]:.1f}, {rhc_minmax[1]:.1f}] mmHg",
+                start_time,
+            )
+        )
 
     record = read_record(record_name)
     scg = get_channels(record, params.in_channels, 0, record.sig_len)  # (L, C)

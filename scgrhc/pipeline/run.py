@@ -115,6 +115,7 @@ def dispatch(argv: list[str]) -> int:
         predict.run(
             params, record_name, checkpoint=which, overlap_s=overlap,
             continuous="--continuous" in rest,
+            calibrate="--calibrate" in rest,
         )
         return 0
     if cmd in ("data", "train", "test", "select"):

@@ -81,6 +81,29 @@ def test_predict_continuous_mode(exp_with_ckpt):
     assert meta["mode"] == "continuous"
 
 
+def test_predict_calibrated(exp_with_ckpt, use_synth_db):
+    """--calibrate denormalizes with the train cohort's joint RHC range."""
+    from scgrhc.data.loaders import SegmentLoader
+    from scgrhc.data.store import SegmentStore
+    from scgrhc.pipeline import predict
+
+    # craft a train loader whose cohort range is [-7, 42]
+    n = 4
+    scg = np.zeros((n, 2, 750), np.float32)
+    rhc = np.zeros((n, 1, 750), np.float32)
+    mm = np.array([[-7.0, 10.0], [0.0, 42.0], [-3.0, 20.0], [1.0, 30.0]])
+    store = SegmentStore(scg, rhc, ["r"] * n, np.arange(n), np.arange(n),
+                         mm.copy(), mm.copy(), 750)
+    SegmentLoader(store, 2).save(exp_with_ckpt.train_path)
+
+    assert predict.cohort_rhc_minmax(exp_with_ckpt) == (-7.0, 42.0)
+    out = predict.run(exp_with_ckpt, "SYN000", checkpoint="last",
+                      calibrate=True,
+                      out_dir=str(exp_with_ckpt.dir_path) + "/cal")
+    meta = json.load(open(out.replace(".npy", ".json")))
+    assert meta["denormalized"] is True
+
+
 def test_predict_best_handshake(exp_with_ckpt):
     from scgrhc.pipeline import predict
 
