@@ -139,3 +139,23 @@ def test_wfdb_roundtrip_fuzz(tmp_path):
             finally:
                 native.decode_calibrate = dc
             np.testing.assert_array_equal(rec.p_signal, rec2.p_signal)
+
+
+def test_chamber_intervals_edge_cases():
+    """Out-of-order events, labels without underscores, events past the
+    Mac end time — semantics identical to recordutil.py:93-110."""
+    sidecar = {
+        "MacStTime": "x 08:00:00",
+        "MacEndTime": "x 08:00:50",  # END at 50 s
+        "ChamEvents_in_s": {
+            "RV_entry": 30.0,   # insertion order != time order
+            "PA": 10.0,         # bare label: prefix == whole label
+            "PCW_late": 60.0,   # beyond END: sorts after it
+        },
+    }
+    assert chamber_intervals_from_sidecar(sidecar, "PA", 500) == [(5000, 15000)]
+    assert chamber_intervals_from_sidecar(sidecar, "RV", 500) == [(15000, 25000)]
+    # PCW event sorts last; [:-1] drops it exactly like the reference
+    assert chamber_intervals_from_sidecar(sidecar, "PCW", 500) == []
+    # unknown chamber → nothing
+    assert chamber_intervals_from_sidecar(sidecar, "RA", 500) == []
