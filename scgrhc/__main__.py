@@ -26,7 +26,9 @@ def main(argv: list[str] | None = None) -> int:
             "       scgrhc plots <dir> <split> <ckpt|best> [n]\n"
             "                                        pred_top/pred_rand figures\n"
             "       scgrhc demo [dir] [--epochs N] [--records N] [--seconds S]\n"
-            "                                        zero-setup synthetic E2E demo"
+            "                                        zero-setup synthetic E2E demo\n"
+            "       scgrhc export <dir> <ckpt|best|last> [out]\n"
+            "                                        torch.save file for reference tools"
         )
         return 0
     from scgrhc.pipeline.run import dispatch

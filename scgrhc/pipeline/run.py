@@ -96,6 +96,32 @@ def dispatch(argv: list[str]) -> int:
         ckpt = predict.resolve_checkpoint(params, argv[3])
         plots.run(params, argv[2], ckpt, n=int(argv[4]) if len(argv) > 4 else 5)
         return 0
+    if cmd == "export":
+        # scgrhc export <dir> <ckpt|best|last> [out_path] — re-encode a
+        # checkpoint as a genuine torch.save file for the reference tools
+        from scgrhc.pipeline import predict
+        from scgrhc.train import checkpoint as ckpt_io
+        from scgrhc.train import orbax_io
+
+        params = Params(os.path.join(argv[1], "params.json"))
+        name = predict.resolve_checkpoint(params, argv[2])
+        src = os.path.join(params.checkpoint_dir_path, name)
+        out = argv[3] if len(argv) > 3 else src.replace(
+            orbax_io.ORBAX_SUFFIX, ""
+        ) + ".torch"
+        if orbax_io.is_orbax_checkpoint(src):
+            from scgrhc.train.wgan import TrainConfig
+
+            ref = src[: -len(orbax_io.ORBAX_SUFFIX)] + ".tmp"
+            orbax_io.to_reference(
+                src, ref, TrainConfig.from_params(params), len(params.in_channels)
+            )
+            ckpt_io.export_torch(ref, out)
+            os.remove(ref)
+        else:
+            ckpt_io.export_torch(src, out)
+        print(f"Exported {src} -> {out}")
+        return 0
     if cmd == "report":
         from scgrhc.pipeline import report
 

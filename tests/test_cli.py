@@ -9,7 +9,7 @@ def test_help(capsys):
     assert main(["--help"]) == 0
     out = capsys.readouterr().out
     for cmd in ("data", "train", "test", "select", "summary", "predict",
-                "sweep", "report", "plots", "demo"):
+                "sweep", "report", "plots", "demo", "export"):
         assert cmd in out
 
 
