@@ -77,3 +77,34 @@ def test_resume_prefers_latest_either_backend(tmp_path, state1):
     assert last == "001.checkpoint.orbax"
     ckpt, _ = orbax_io.load(str(d / last), cfg, 1)
     assert ckpt["epoch"] == 1
+
+
+def test_export_cli_from_orbax(tmp_path, state1, monkeypatch):
+    """'scgrhc export' re-encodes an orbax checkpoint as a torch file."""
+    import json
+    import os
+
+    torch = pytest.importorskip("torch")
+    import scgrhc.pipeline.run as pr
+
+    cfg, state = state1
+    d = tmp_path / "exp"
+    os.makedirs(d / "checkpoints")
+    (d / "params.json").write_text(json.dumps({
+        "dir_path": str(d), "in_channels": ["a"], "chamber": "PA",
+        "segment_size": 1.5, "batch_size": 4, "train_path": "t",
+        "valid_path": "v", "test_path": "s", "checkpoint_dir_path": "checkpoints",
+        "comparison_dir_path": "co", "pred_top_dir_path": "p1",
+        "pred_rand_dir_path": "p2", "alpha": 1e-4, "beta1": 0.5,
+        "beta2": 0.999, "n_critic": 2, "lambda_gp": 10, "lambda_aux": 100,
+        "total_epochs": 1, "min_RHC": -50, "use_global_min_max": False,
+    }))
+    orbax_io.save(str(d / "checkpoints" / "004.checkpoint"), start_time=0.0,
+                  epoch=4, g_losses=[], d_losses=[], state=state)
+    out = str(tmp_path / "out.torch")
+    assert pr.dispatch(["export", str(d), "004.checkpoint", out]) == 0
+    ckpt = torch.load(out, weights_only=False)
+    assert ckpt["epoch"] == 4
+    np.testing.assert_array_equal(
+        ckpt["g_state_dict"]["final.weight"].numpy(),
+        np.asarray(state.g_params["final"]["w"]))
