@@ -163,14 +163,25 @@ class SegmentStore:
 
     # -- device residency ----------------------------------------------------
 
-    def device_arrays(self):
-        """(scg, rhc) as jax arrays, cached so the host→HBM copy happens once."""
-        import jax.numpy as jnp
+    def device_arrays(self, sharding=None):
+        """(scg, rhc) as jax arrays, cached so the host→HBM copy happens once.
 
-        if "scg" not in self._device_cache:
-            self._device_cache["scg"] = jnp.asarray(self.scg)
-            self._device_cache["rhc"] = jnp.asarray(self.rhc)
-        return self._device_cache["scg"], self._device_cache["rhc"]
+        With ``sharding`` (e.g. replicated over a DP mesh) the arrays are
+        placed once under that sharding and reused every epoch — the
+        multi-chip training path gathers batches from this resident copy
+        instead of re-staging the shuffled epoch host→device."""
+        key = ("scg", None) if sharding is None else ("scg", sharding)
+        if key not in self._device_cache:
+            import jax
+            import jax.numpy as jnp
+
+            if sharding is None:
+                scg, rhc = jnp.asarray(self.scg), jnp.asarray(self.rhc)
+            else:
+                scg = jax.device_put(self.scg, sharding)
+                rhc = jax.device_put(self.rhc, sharding)
+            self._device_cache[key] = (scg, rhc)
+        return self._device_cache[key]
 
     # -- persistence ----------------------------------------------------------
 

@@ -110,7 +110,10 @@ def run(params, loader_type: str, checkpoint_path: str) -> None:
     loader = load_dataloader(loader_path)
 
     if checkpoint_path == "all":
-        checkpoint_paths = sorted(os.listdir(params.checkpoint_dir_path))[
+        # complete checkpoints only, one per epoch (reference enumerates raw
+        # listdir, waveform_test.py:119-124; ours additionally skips orbax
+        # tmp/half-committed dirs and export side-artifacts)
+        checkpoint_paths = ckpt_io.list_checkpoints(params.checkpoint_dir_path)[
             : params.total_epochs
         ]
     elif checkpoint_path == "last":
@@ -163,38 +166,41 @@ def run(params, loader_type: str, checkpoint_path: str) -> None:
     pending = pool.submit(load_g_params, todo[0]) if todo else None
     next_todo = 1
 
-    for i, ckpt_name in enumerate(checkpoint_paths):
-        # log-line parity: the reference prints i/len over ALL checkpoints,
-        # including already-processed ones (waveform_test.py:138-140)
-        print(
-            timelog(
-                f"waveform_test | {params.dir_path} | {loader_type} | "
-                f"{checkpoint_message} | {i}/{len(checkpoint_paths)}",
-                start_time,
+    try:
+        for i, ckpt_name in enumerate(checkpoint_paths):
+            # log-line parity: the reference prints i/len over ALL checkpoints,
+            # including already-processed ones (waveform_test.py:138-140)
+            print(
+                timelog(
+                    f"waveform_test | {params.dir_path} | {loader_type} | "
+                    f"{checkpoint_message} | {i}/{len(checkpoint_paths)}",
+                    start_time,
+                )
             )
-        )
-        if is_processed(ckpt_name):
-            continue
-        g_params = pending.result()
-        pending = (
-            pool.submit(load_g_params, todo[next_todo])
-            if next_todo < len(todo)
-            else None
-        )
-        next_todo += 1
-
-        with trace(f"eval_{loader_type}"):
-            comparisons = get_waveform_comparisons(
-                g_params, loader, batch=params.eval_batch, dtype=params.dtype,
-                sharding=_auto_sharding(params.eval_batch),
+            if is_processed(ckpt_name):
+                continue
+            g_params = pending.result()
+            pending = (
+                pool.submit(load_g_params, todo[next_todo])
+                if next_todo < len(todo)
+                else None
             )
-        comparisons.sort(key=lambda c: c["pcc_r"], reverse=True)
+            next_todo += 1
 
-        checkpoint_str = ckpt_name.split(".")[0]
-        comparison_path = os.path.join(comp_dir_path, f"{checkpoint_str}.csv")
-        # explicit columns: an empty split still writes a parseable header
-        pd.DataFrame(comparisons, columns=CSV_COLUMNS).to_csv(
-            comparison_path, index=False
-        )
+            with trace(f"eval_{loader_type}"):
+                comparisons = get_waveform_comparisons(
+                    g_params, loader, batch=params.eval_batch, dtype=params.dtype,
+                    sharding=_auto_sharding(params.eval_batch),
+                )
+            comparisons.sort(key=lambda c: c["pcc_r"], reverse=True)
 
-    pool.shutdown(wait=False)
+            checkpoint_str = ckpt_name.split(".")[0]
+            comparison_path = os.path.join(comp_dir_path, f"{checkpoint_str}.csv")
+            # explicit columns: an empty split still writes a parseable header
+            pd.DataFrame(comparisons, columns=CSV_COLUMNS).to_csv(
+                comparison_path, index=False
+            )
+    finally:
+        if pending is not None:
+            pending.cancel()
+        pool.shutdown(wait=False, cancel_futures=True)

@@ -96,12 +96,16 @@ def _pad_size(a, b):
     return a
 
 
-def apply(params, x, rng=None, train: bool = False, dtype=jnp.float32):
+def apply(params, x, rng=None, train: bool = False, dtype=None):
     """Forward pass (reference: waveform_train.py:175-195).
 
     x: (N, C, T) SCG → (N, 1, T) predicted (normalized) RHC.
     ``rng`` is required when ``train`` (dropout); ignored otherwise.
+    ``dtype`` defaults to the params' own dtype (bf16 params ⇒ bf16
+    compute), so callers pick precision by casting the weight pytree.
     """
+    if dtype is None:
+        dtype = jax.tree.leaves(params)[0].dtype
     if train:
         drops = jax.random.split(rng, 6)
     else:

@@ -27,22 +27,27 @@ from jax import lax
 IN_EPS = 1e-5  # torch InstanceNorm1d default
 
 
-def conv1d(x, w, b=None, padding: int = 0):
-    """(N, C, L) ⊛ (O, C, K) → (N, O, L'), cross-correlation like torch.
+def _acc_dtype(x):
+    """HLO accumulation type request.  float32 inputs ask for f32 explicitly;
+    bf16 inputs emit bf16 HLO (the TPU MXU still accumulates bf16 partial
+    sums in f32 internally) — requesting an f32 result for bf16 inputs
+    would break autodiff: the cast-back transpose hands the conv transpose
+    an f32 cotangent against bf16 weights."""
+    return jnp.float32 if x.dtype == jnp.float32 else None
 
-    Accumulates in float32 regardless of input dtype (MXU-native bf16
-    inputs keep f32 partial sums), then casts back to the input dtype.
-    """
+
+def conv1d(x, w, b=None, padding: int = 0):
+    """(N, C, L) ⊛ (O, C, K) → (N, O, L'), cross-correlation like torch."""
     out = lax.conv_general_dilated(
         x,
         w,
         window_strides=(1,),
         padding=[(padding, padding)],
         dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_acc_dtype(x),
     )
     if b is not None:
-        out = out + b.astype(jnp.float32)[None, :, None]
+        out = out + b.astype(out.dtype)[None, :, None]
     return out.astype(x.dtype)
 
 
@@ -62,10 +67,10 @@ def conv_transpose1d(x, w, b=None):
         window_strides=(1,),
         padding=[(k - 1, k - 1)],
         dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_acc_dtype(x),
     )
     if b is not None:
-        out = out + b.astype(jnp.float32)[None, :, None]
+        out = out + b.astype(out.dtype)[None, :, None]
     return out.astype(x.dtype)
 
 

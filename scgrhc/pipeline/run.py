@@ -106,9 +106,12 @@ def dispatch(argv: list[str]) -> int:
         params = Params(os.path.join(argv[1], "params.json"))
         name = predict.resolve_checkpoint(params, argv[2])
         src = os.path.join(params.checkpoint_dir_path, name)
-        out = argv[3] if len(argv) > 3 else src.replace(
-            orbax_io.ORBAX_SUFFIX, ""
-        ) + ".torch"
+        # default output OUTSIDE checkpoint_dir_path: a .torch file in the
+        # checkpoint dir would shadow the real checkpoint in the reference's
+        # reverse-lex resume sort and pad eval's 'all' enumeration
+        out = argv[3] if len(argv) > 3 else os.path.join(
+            params.dir_path, name.replace(orbax_io.ORBAX_SUFFIX, "") + ".torch"
+        )
         if orbax_io.is_orbax_checkpoint(src):
             from scgrhc.train.wgan import TrainConfig
 

@@ -36,13 +36,61 @@ from scgrhc.models import torch_compat
 _NATIVE_TAG = "scgrhc-checkpoint.v1"
 
 
+def is_complete_checkpoint(dirpath: str, name: str) -> bool:
+    """True for entries safe to resume/evaluate from.
+
+    Excluded: Orbax in-flight temp dirs (``*.orbax-checkpoint-tmp-*``),
+    Orbax dirs whose ``meta.json`` hasn't landed (a crash between the
+    atomic array commit and the meta write leaves exactly this state —
+    see scgrhc.train.orbax_io.save), and scgrhc side-artifacts
+    (``*.torch`` exports, ``*.tmp``) that shadow a real checkpoint in the
+    reverse-lex sort."""
+    if "orbax-checkpoint-tmp" in name:
+        return False
+    if name.endswith((".torch", ".tmp")):
+        return False
+    full = os.path.join(dirpath, name)
+    if os.path.isdir(full):
+        return os.path.exists(os.path.join(full, "meta.json"))
+    return True
+
+
 def get_last_checkpoint_path(dirpath: str) -> str | None:
-    """Latest checkpoint filename, by reverse lexicographic sort
-    (reference: waveform_train.py:289-296)."""
+    """Latest *complete* checkpoint filename, by reverse lexicographic sort
+    (reference: waveform_train.py:289-296).  Incomplete entries (see
+    :func:`is_complete_checkpoint`) are skipped so a crash mid-save resumes
+    from the previous epoch instead of dying on a half-written directory."""
     try:
-        return sorted(os.listdir(dirpath), reverse=True)[0]
+        names = sorted(os.listdir(dirpath), reverse=True)
     except Exception:
         return None
+    for name in names:
+        if is_complete_checkpoint(dirpath, name):
+            return name
+    return None
+
+
+def list_checkpoints(dirpath: str) -> list[str]:
+    """Sorted complete checkpoint names, deduplicated by epoch stem.
+
+    Mixed-backend directories can hold both ``NNN.checkpoint`` and
+    ``NNN.checkpoint.orbax`` for the same epoch; evaluation must score
+    each epoch once (the reference enumerates raw listdir,
+    waveform_test.py:119-124, but it only ever sees one backend)."""
+    try:
+        names = sorted(os.listdir(dirpath))
+    except Exception:
+        return []
+    out, seen = [], set()
+    for name in names:
+        if not is_complete_checkpoint(dirpath, name):
+            continue
+        stem = name.split(".")[0]
+        if stem in seen:
+            continue
+        seen.add(stem)
+        out.append(name)
+    return out
 
 
 # -- optax adam ↔ torch Adam state -------------------------------------------
@@ -93,9 +141,17 @@ def _interop(kind: str):
     )
 
 
-def optax_to_torch_adam_sd(opt_state, params: dict, kind: str) -> dict:
+def optax_to_torch_adam_sd(opt_state, params: dict, kind: str, cfg=None) -> dict:
     """optax.adam state → torch ``optim.Adam.state_dict()`` layout, with
-    param ids in true torch registration order."""
+    param ids in true torch registration order.
+
+    ``cfg`` (a TrainConfig) supplies the Adam hyperparameters for the
+    param_group.  torch's ``Optimizer.load_state_dict`` adopts the saved
+    group dicts wholesale (only ``params`` is remapped), so the group must
+    carry the full hyperparameter set or the reference's first
+    ``optimizer.step()`` after resuming would KeyError on ``lr``/``betas``
+    (reference Adam construction: waveform_train.py:325-326 — lr=alpha,
+    betas=(beta1, beta2), torch defaults for the rest)."""
     scale_state = opt_state[0]  # ScaleByAdamState(count, mu, nu)
     count = int(scale_state.count)
     order, to_sd, _ = _interop(kind)
@@ -105,7 +161,24 @@ def optax_to_torch_adam_sd(opt_state, params: dict, kind: str) -> dict:
         i: {"step": count, "exp_avg": mu_sd[key], "exp_avg_sq": nu_sd[key]}
         for i, key in enumerate(order)
     }
-    return {"state": state, "param_groups": [{"params": list(range(len(order)))}]}
+    if cfg is None:
+        from scgrhc.train.wgan import TrainConfig
+
+        cfg = TrainConfig()
+    group = {
+        "lr": float(cfg.alpha),
+        "betas": (float(cfg.beta1), float(cfg.beta2)),
+        "eps": 1e-8,
+        "weight_decay": 0,
+        "amsgrad": False,
+        "maximize": False,
+        "foreach": None,
+        "capturable": False,
+        "differentiable": False,
+        "fused": None,
+        "params": list(range(len(order))),
+    }
+    return {"state": state, "param_groups": [group]}
 
 
 def optax_from_torch_adam_sd(
@@ -143,8 +216,12 @@ def save(
     g_losses: list,
     d_losses: list,
     state,
+    cfg=None,
 ) -> None:
-    """Write a reference-layout checkpoint dict (native pickle)."""
+    """Write a reference-layout checkpoint dict (native pickle).
+
+    ``cfg`` fills the exported Adam param_group hyperparameters (defaults
+    match every reference config: lr 1e-4, betas (0.5, 0.999))."""
     ckpt = {
         "format": _NATIVE_TAG,
         "start_time": start_time,
@@ -158,10 +235,10 @@ def save(
             _to_numpy(state.d_params), as_torch=False
         ),
         "g_optimizer_state_dict": optax_to_torch_adam_sd(
-            state.g_opt, state.g_params, "generator"
+            state.g_opt, state.g_params, "generator", cfg
         ),
         "d_optimizer_state_dict": optax_to_torch_adam_sd(
-            state.d_opt, state.d_params, "critic"
+            state.d_opt, state.d_params, "critic", cfg
         ),
     }
     with open(path, "wb") as f:

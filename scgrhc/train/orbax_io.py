@@ -146,4 +146,5 @@ def to_reference(path: str, out_path: str, cfg, in_channels: int) -> None:
         g_losses=ckpt["g_losses"],
         d_losses=ckpt["d_losses"],
         state=state,
+        cfg=cfg,
     )

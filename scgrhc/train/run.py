@@ -89,95 +89,138 @@ def run(params, plot: bool = True) -> None:
         )
 
 
-def _auto_dp_place(state, scg_b, rhc_b, bs: int):
-    """Data-parallel placement for multi-chip hosts: replicate the train
-    state and shard each step's batch dim across all local devices (GSPMD
-    inserts the gradient all-reduce over ICI).  Returns None on one chip
-    or when the batch doesn't divide the mesh."""
-    n = jax.device_count()
-    if n <= 1 or bs % n != 0:
-        return None
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from scgrhc.parallel.mesh import make_mesh, replicate
-
-    mesh = make_mesh()
-    batch_sh = NamedSharding(mesh, P(None, mesh.axis_names[0]))
-    return (
-        replicate(mesh, state),
-        jax.device_put(scg_b, batch_sh),
-        jax.device_put(rhc_b, batch_sh),
+def _pad_idx_mask(idx: np.ndarray, n_dev: int):
+    """Pad the (nb, B) gather permutation so B divides the mesh, plus the
+    (B',) 0/1 mask that makes the pad rows inert.  Returns (idx, mask_np)
+    with mask_np None when no padding is needed."""
+    bs = idx.shape[-1]
+    if bs % n_dev == 0:
+        return idx, None
+    pad = n_dev - bs % n_dev
+    idx = np.concatenate(
+        [idx, np.zeros((*idx.shape[:-1], pad), np.int32)], axis=-1
+    )
+    return idx, np.concatenate(
+        [np.ones(bs, np.float32), np.zeros(pad, np.float32)]
     )
 
 
-def _run_epoch_step_mode(params, cfg, state, train_loader, rng, epoch):
+def _dp_gather_place(state, store, idx: np.ndarray):
+    """Multi-chip DP with zero per-epoch staging: the dense store is
+    replicated into every chip's HBM once (cached on the store), the train
+    state is replicated, and each scanned batch is gathered on-device with
+    its batch dim sharded — so each chip gathers only its local shard and
+    GSPMD all-reduces the gradients over ICI.  Batches that don't divide
+    the mesh are padded with masked-out rows, so DP engages at any batch
+    size.  (The padded shape changes the dropout/GP-eps draw *shapes*, so a
+    padded run is a different — equally valid — trajectory than the
+    single-chip one; divisible batches remain trajectory-identical.)
+
+    Returns (state, scg_all, rhc_all, idx, mask)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from scgrhc.parallel.mesh import make_mesh, replicate, replicated
+
+    mesh = make_mesh()
+    axis = mesh.axis_names[0]
+    idx, mask_np = _pad_idx_mask(idx, mesh.devices.size)
+    mask = (
+        jax.device_put(mask_np, NamedSharding(mesh, P(axis)))
+        if mask_np is not None
+        else None
+    )
+    scg_all, rhc_all = store.device_arrays(sharding=replicated(mesh))
+    idx = jax.device_put(jnp.asarray(idx), NamedSharding(mesh, P(None, axis)))
+    return replicate(mesh, state), scg_all, rhc_all, idx, mask
+
+
+def _run_epoch_step_mode(params, cfg, state, train_loader, epoch_rng, epoch):
     """Reference-style loop: one jitted program per batch.  Yields
-    (batch_index, d_losses (n_critic,), g_loss) as floats arrive."""
+    (batch_index, d_losses (n_critic,), g_loss) as floats arrive.
+
+    Per-batch keys are ``split(epoch_rng, n_batches)[i]`` — the exact keys
+    the epoch-scan mode uses (threefry split is counter-based, so the
+    prefix property makes the two modes' dropout masks and GP epsilons
+    identical batch for batch, hence identical loss histories and
+    checkpoints)."""
     train_loader.set_epoch(epoch)
+    keys = jax.random.split(epoch_rng, max(1, len(train_loader)))
     for i, (scg, rhc) in enumerate(train_loader):
-        rng, step_rng = jax.random.split(rng)
         with annotate("train_step"):
             state, d_step, g_loss = train_step(
-                state, jnp.asarray(scg), jnp.asarray(rhc), step_rng, cfg
+                state, jnp.asarray(scg), jnp.asarray(rhc), keys[i], cfg
             )
         yield state, i, np.asarray(d_step).tolist(), float(g_loss)
 
 
-def _run_epoch_scan_mode(params, cfg, state, train_loader, rng, epoch):
+def _run_epoch_scan_mode(params, cfg, state, train_loader, epoch_rng, epoch):
     """TPU-native path: all full-size batches of the epoch as one scanned
     XLA program (scgrhc.train.wgan.train_epoch); the remainder batch, if
     any, runs as one extra step.  Per-batch losses come back afterwards,
     so observable outputs (loss histories, prints, plots, checkpoints)
-    match step mode's."""
-    from scgrhc.train.wgan import train_epoch, train_epoch_gather
+    match step mode's — including the RNG stream: the scan's internal
+    ``split(epoch_rng, nb)`` is a prefix of step mode's
+    ``split(epoch_rng, n_batches)`` and the tail batch takes the next key,
+    so both modes draw identical dropout masks and GP epsilons."""
+    from scgrhc.train.wgan import train_epoch_gather
 
     store = train_loader.dataset
     bs = train_loader.batch_size
     order = train_loader.epoch_order(epoch)
     n = len(order)
     nb = n // bs
-    rng, epoch_rng, tail_rng = jax.random.split(rng, 3)
+    n_batches = nb + (1 if n % bs else 0)
+    tail_rng = jax.random.split(epoch_rng, max(1, n_batches))[-1]
+
+    use_dp = jax.device_count() > 1
 
     out = []
     if nb:
-        placed = None
-        if jax.device_count() > 1 and bs % jax.device_count() == 0:
-            # multi-chip: stage this epoch's batches with the batch dim
-            # sharded (the gather path would need a sharded-gather layout)
-            idx = order[: nb * bs]
-            scg_b = jnp.asarray(store.scg[idx].reshape(nb, bs, *store.scg.shape[1:]))
-            rhc_b = jnp.asarray(store.rhc[idx].reshape(nb, bs, *store.rhc.shape[1:]))
-            placed = _auto_dp_place(state, scg_b, rhc_b, bs)
-        if placed is not None:
-            state, scg_b, rhc_b = placed
-            with annotate("train_epoch"):
-                state, d_hist, g_hist = train_epoch(
-                    state, scg_b, rhc_b, epoch_rng, cfg
-                )
+        idx = order[: nb * bs].reshape(nb, bs).astype(np.int32)
+        mask = None
+        if use_dp:
+            state, scg_all, rhc_all, idx, mask = _dp_gather_place(
+                state, store, idx
+            )
         else:
             # single chip: the store lives in HBM once; only the epoch's
             # (nb, B) permutation crosses host→device
             scg_all, rhc_all = store.device_arrays()
-            idx = jnp.asarray(
-                order[: nb * bs].reshape(nb, bs).astype("int32")
+            idx = jnp.asarray(idx)
+        with annotate("train_epoch"):
+            state, d_hist, g_hist = train_epoch_gather(
+                state, scg_all, rhc_all, idx, epoch_rng, cfg, mask
             )
-            with annotate("train_epoch"):
-                state, d_hist, g_hist = train_epoch_gather(
-                    state, scg_all, rhc_all, idx, epoch_rng, cfg
-                )
         d_hist = np.asarray(d_hist)
         g_hist = np.asarray(g_hist)
         for i in range(nb):
             out.append((state, i, d_hist[i].tolist(), float(g_hist[i])))
     if n % bs:
         tail = order[nb * bs :]
+        scg_t, rhc_t = store.scg[tail], store.rhc[tail]
+        mask_t = None
+        if use_dp:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from scgrhc.parallel.mesh import make_mesh, replicate
+
+            mesh = make_mesh()
+            axis = mesh.axis_names[0]
+            tail_idx, mask_np = _pad_idx_mask(
+                np.arange(len(tail), dtype=np.int32), mesh.devices.size
+            )
+            scg_t, rhc_t = scg_t[tail_idx], rhc_t[tail_idx]
+            if mask_np is not None:
+                mask_t = jax.device_put(mask_np, NamedSharding(mesh, P(axis)))
+            batch_sh = NamedSharding(mesh, P(axis))
+            scg_t = jax.device_put(scg_t, batch_sh)
+            rhc_t = jax.device_put(rhc_t, batch_sh)
+            if not nb:  # state not yet replicated by the scan path
+                state = replicate(mesh, state)
         with annotate("train_step"):
             state, d_step, g_loss = train_step(
-                state,
-                jnp.asarray(store.scg[tail]),
-                jnp.asarray(store.rhc[tail]),
-                tail_rng,
-                cfg,
+                state, jnp.asarray(scg_t), jnp.asarray(rhc_t), tail_rng, cfg,
+                mask_t,
             )
         out.append((state, nb, np.asarray(d_step).tolist(), float(g_loss)))
     return out
@@ -236,7 +279,7 @@ def _train_loop(
         else:
             ckpt_io.save(
                 ckpt_path, start_time=start_time, epoch=epoch,
-                g_losses=g_losses, d_losses=d_losses, state=state,
+                g_losses=g_losses, d_losses=d_losses, state=state, cfg=cfg,
             )
         epoch += 1
 

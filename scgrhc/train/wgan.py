@@ -48,6 +48,24 @@ class TrainConfig(NamedTuple):
     # adversarial term scores the REAL rhc → zero generator gradient);
     # True feeds the prediction — textbook conditional WGAN-GP.
     fix_g_adversarial: bool = False
+    # Forward/backward compute dtype.  "bfloat16" runs the matmul-heavy
+    # passes in the MXU's native dtype with float32 master weights: the
+    # differentiated loss casts params/activations down internally, so
+    # gradients arrive back in f32 through the cast transpose, and the
+    # Adam update + optimizer state stay full-precision.  Convs still
+    # accumulate f32 and norm statistics are f32 (scgrhc.ops.nn); the GP
+    # gradient norm is reduced in f32.
+    compute_dtype: str = "float32"
+    # How many critic forwards to batch into one program per critic step.
+    # "2b": score [scg‖pred] and [scg‖real] as one 2B-batch call, GP on its
+    #       own B-batch grad pass — same total FLOPs as "off", fewer
+    #       launches (the on-chip default; see BENCH.md).
+    # "3b": everything incl. the GP interpolant in one 3B call — fewest
+    #       launches but the GP input-grad backward then runs over 3B.
+    # "off": the reference's 3 separate forwards.
+    # All three are per-sample identical math (convs/InstanceNorm never
+    # cross the batch dim), so loss histories match across modes.
+    critic_fuse: str = "2b"
 
     @classmethod
     def from_params(cls, params) -> "TrainConfig":
@@ -59,6 +77,8 @@ class TrainConfig(NamedTuple):
             beta1=float(params.beta1),
             beta2=float(params.beta2),
             fix_g_adversarial=bool(getattr(params, "fix_g_adversarial", False)),
+            compute_dtype=str(getattr(params, "train_dtype", "float32")),
+            critic_fuse=str(getattr(params, "critic_fuse", "2b")),
         )
 
 
@@ -81,11 +101,33 @@ def init_state(rng, in_channels: int, cfg: TrainConfig) -> TrainState:
     return TrainState(g_params, d_params, opt.init(g_params), opt.init(d_params))
 
 
-def gradient_penalty_from_eps(d_params, scg, rhc, pred_rhc, eps):
+def _cast_tree(tree, dtype):
+    return jax.tree.map(lambda a: a.astype(dtype), tree)
+
+
+def _masked_mean(v, mask):
+    """Mean over (B, ...) with per-sample 0/1 weights; ``mask=None`` is the
+    plain mean.  With weights, padded samples contribute nothing and the
+    result equals the mean over the real samples alone."""
+    if mask is None:
+        return jnp.mean(v)
+    m = mask.astype(v.dtype)
+    per_sample = jnp.mean(v.reshape(v.shape[0], -1), axis=1)
+    return jnp.sum(per_sample * m) / jnp.sum(m)
+
+
+def _gp_norms(grads):
+    """Per-sample ℓ2 of the interpolant gradient, reduced in float32
+    (bf16 squares of ~750·C terms would lose the penalty's signal)."""
+    b = grads.shape[0]
+    g32 = grads.astype(jnp.float32).reshape(b, -1)
+    return jnp.sqrt(jnp.sum(jnp.square(g32), axis=1) + 1e-12)
+
+
+def gradient_penalty_from_eps(d_params, scg, rhc, pred_rhc, eps, mask=None):
     """WGAN-GP (reference: waveform_train.py:249-286): per-sample uniform
     interpolation between real and predicted RHC, ∥∇_x D∥₂ penalized to 1.
     ``eps`` (B, 1, 1) is passed in so parity tests can pin it."""
-    batch = rhc.shape[0]
     interp = eps * rhc + (1.0 - eps) * pred_rhc
 
     def score_sum(z):
@@ -93,38 +135,99 @@ def gradient_penalty_from_eps(d_params, scg, rhc, pred_rhc, eps):
         return jnp.sum(critic.apply(d_params, jnp.concatenate((scg, z), axis=1)))
 
     grads = jax.grad(score_sum)(interp)
-    norms = jnp.sqrt(jnp.sum(jnp.square(grads.reshape(batch, -1)), axis=1) + 1e-12)
-    return jnp.mean(jnp.square(norms - 1.0))
+    return _masked_mean(jnp.square(_gp_norms(grads) - 1.0), mask)
 
 
-def gradient_penalty(d_params, scg, rhc, pred_rhc, eps_rng):
-    eps = jax.random.uniform(eps_rng, (rhc.shape[0], 1, 1), dtype=rhc.dtype)
-    return gradient_penalty_from_eps(d_params, scg, rhc, pred_rhc, eps)
+def _critic_terms(d_params, scg, rhc, pred_rhc, eps, fuse: str, mask=None):
+    """(E[D(pred)], E[D(real)], GP) with the chosen forward batching.
+
+    Convs and InstanceNorm never mix samples, so all three modes compute
+    identical per-sample scores; only launch count / batch shape differ.
+    """
+    interp = eps * rhc + (1.0 - eps) * pred_rhc
+    if fuse == "3b":
+        scg3 = jnp.concatenate((scg, scg, scg), axis=0)
+
+        def obj(z):
+            x = jnp.concatenate((pred_rhc, rhc, z), axis=0)
+            v = critic.apply(d_params, jnp.concatenate((scg3, x), axis=1))
+            vp, vr, vi = jnp.split(v, 3, axis=0)
+            return jnp.sum(vi), (_masked_mean(vp, mask), _masked_mean(vr, mask))
+
+        (_, (pred_mean, real_mean)), grads = jax.value_and_grad(
+            obj, has_aux=True
+        )(interp)
+        gp = _masked_mean(jnp.square(_gp_norms(grads) - 1.0), mask)
+    elif fuse == "2b":
+        v = critic.apply(
+            d_params,
+            jnp.concatenate(
+                (
+                    jnp.concatenate((scg, pred_rhc), axis=1),
+                    jnp.concatenate((scg, rhc), axis=1),
+                ),
+                axis=0,
+            ),
+        )
+        vp, vr = jnp.split(v, 2, axis=0)
+        pred_mean, real_mean = _masked_mean(vp, mask), _masked_mean(vr, mask)
+        gp = gradient_penalty_from_eps(d_params, scg, rhc, pred_rhc, eps, mask)
+    else:  # "off": the reference's three separate forwards
+        vp = critic.apply(d_params, jnp.concatenate((scg, pred_rhc), axis=1))
+        vr = critic.apply(d_params, jnp.concatenate((scg, rhc), axis=1))
+        pred_mean, real_mean = _masked_mean(vp, mask), _masked_mean(vr, mask)
+        gp = gradient_penalty_from_eps(d_params, scg, rhc, pred_rhc, eps, mask)
+    return pred_mean, real_mean, gp
 
 
-def critic_loss(d_params, g_params, scg, rhc, drop_rng, eps_rng, cfg: TrainConfig):
+def critic_loss(
+    d_params, g_params, scg, rhc, drop_rng, eps_rng, cfg: TrainConfig, mask=None
+):
+    dt = jnp.dtype(cfg.compute_dtype)
+    if dt != jnp.dtype(jnp.float32):
+        # master weights stay f32 outside; grads return f32 via the cast
+        d_params, g_params = _cast_tree((d_params, g_params), dt)
+        scg, rhc = scg.astype(dt), rhc.astype(dt)
     pred_rhc = generator.apply(g_params, scg, rng=drop_rng, train=True)
-    pred_validity = critic.apply(d_params, jnp.concatenate((scg, pred_rhc), axis=1))
-    real_validity = critic.apply(d_params, jnp.concatenate((scg, rhc), axis=1))
-    gp = gradient_penalty(d_params, scg, rhc, pred_rhc, eps_rng)
-    return -jnp.mean(real_validity) + jnp.mean(pred_validity) + cfg.lambda_gp * gp
+    # eps drawn in f32 so the stream is identical across compute dtypes
+    eps = jax.random.uniform(
+        eps_rng, (rhc.shape[0], 1, 1), dtype=jnp.float32
+    ).astype(rhc.dtype)
+    pred_mean, real_mean, gp = _critic_terms(
+        d_params, scg, rhc, pred_rhc, eps, cfg.critic_fuse, mask
+    )
+    loss = -real_mean + pred_mean + cfg.lambda_gp * gp
+    return loss.astype(jnp.float32)
 
 
-def generator_loss(g_params, d_params, scg, rhc, drop_rng, cfg: TrainConfig):
+def generator_loss(
+    g_params, d_params, scg, rhc, drop_rng, cfg: TrainConfig, mask=None
+):
+    dt = jnp.dtype(cfg.compute_dtype)
+    if dt != jnp.dtype(jnp.float32):
+        d_params, g_params = _cast_tree((d_params, g_params), dt)
+        scg, rhc = scg.astype(dt), rhc.astype(dt)
     pred_rhc = generator.apply(g_params, scg, rng=drop_rng, train=True)
     # Reference quirk (default): adversarial term scores the REAL rhc
     # (waveform_train.py:376) — constant w.r.t. g_params.  With
     # fix_g_adversarial it scores the prediction (true conditional WGAN).
     adv_input = pred_rhc if cfg.fix_g_adversarial else rhc
     pred_validity = critic.apply(d_params, jnp.concatenate((scg, adv_input), axis=1))
-    mse = jnp.mean(jnp.square(pred_rhc - rhc))
-    return -jnp.mean(pred_validity) + cfg.lambda_aux * mse
+    sq = jnp.square((pred_rhc - rhc).astype(jnp.float32))
+    if mask is None:
+        mse = jnp.mean(sq)
+    else:
+        m = mask.astype(jnp.float32)
+        mse = jnp.sum(jnp.mean(sq.reshape(sq.shape[0], -1), axis=1) * m) / jnp.sum(m)
+    loss = -_masked_mean(pred_validity, mask) + cfg.lambda_aux * mse
+    return loss.astype(jnp.float32)
 
 
-def _train_step_impl(state: TrainState, scg, rhc, rng, cfg: TrainConfig):
+def _train_step_impl(state: TrainState, scg, rhc, rng, cfg: TrainConfig, mask=None):
     """One batch: n_critic critic updates then one generator update
     (reference: waveform_train.py:357-381).  Returns (state, d_losses
-    (n_critic,), g_loss)."""
+    (n_critic,), g_loss).  ``mask`` (B,) 0/1 makes padded samples inert
+    (loss values equal the unpadded batch's) for divisibility padding."""
     opt = make_optimizer(cfg)
     g_params, d_params, g_opt, d_opt = state
     d_losses = []
@@ -132,14 +235,14 @@ def _train_step_impl(state: TrainState, scg, rhc, rng, cfg: TrainConfig):
 
     for i in range(cfg.n_critic):  # static unroll
         d_loss, d_grads = jax.value_and_grad(critic_loss)(
-            d_params, g_params, scg, rhc, keys[2 * i], keys[2 * i + 1], cfg
+            d_params, g_params, scg, rhc, keys[2 * i], keys[2 * i + 1], cfg, mask
         )
         updates, d_opt = opt.update(d_grads, d_opt, d_params)
         d_params = optax.apply_updates(d_params, updates)
         d_losses.append(d_loss)
 
     g_loss, g_grads = jax.value_and_grad(generator_loss)(
-        g_params, d_params, scg, rhc, keys[-1], cfg
+        g_params, d_params, scg, rhc, keys[-1], cfg, mask
     )
     updates, g_opt = opt.update(g_grads, g_opt, g_params)
     g_params = optax.apply_updates(g_params, updates)
@@ -177,7 +280,7 @@ def train_epoch(state: TrainState, scg_batches, rhc_batches, rng, cfg: TrainConf
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def train_epoch_gather(
-    state: TrainState, scg_all, rhc_all, order, rng, cfg: TrainConfig
+    state: TrainState, scg_all, rhc_all, order, rng, cfg: TrainConfig, mask=None
 ):
     """Epoch scan that gathers batches from the HBM-resident store.
 
@@ -186,13 +289,18 @@ def train_epoch_gather(
     this epoch.  Only the permutation (a few KB) crosses host→device per
     epoch instead of re-staging the whole shuffled dataset (~MBs/epoch ×
     250 epochs).  Step math identical to :func:`train_step`.
+
+    Multi-chip DP: pass the store replicated, ``order`` sharded on its B
+    axis, and (when B doesn't divide the mesh) pad ``order`` with dummy
+    rows masked out by ``mask`` (B,) — each device then gathers only its
+    local batch shard and GSPMD all-reduces the gradients over ICI.
     """
     keys = jax.random.split(rng, order.shape[0])
 
     def body(st, xs):
         idx, key = xs
         st, d_losses, g_loss = _train_step_impl(
-            st, scg_all[idx], rhc_all[idx], key, cfg
+            st, scg_all[idx], rhc_all[idx], key, cfg, mask
         )
         return st, (d_losses, g_loss)
 

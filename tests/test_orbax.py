@@ -108,3 +108,54 @@ def test_export_cli_from_orbax(tmp_path, state1, monkeypatch):
     np.testing.assert_array_equal(
         ckpt["g_state_dict"]["final.weight"].numpy(),
         np.asarray(state.g_params["final"]["w"]))
+
+
+def test_crash_window_falls_back_to_previous_epoch(tmp_path, state1):
+    """A crash between Orbax's atomic array commit and the meta.json write
+    leaves a meta-less directory; resume must select the previous complete
+    checkpoint instead of dying on FileNotFoundError.  In-flight Orbax tmp
+    dirs and 'scgrhc export' .torch side-files must be skipped too."""
+    import os
+
+    cfg, state = state1
+    d = tmp_path / "ckpts"
+    d.mkdir()
+    orbax_io.save(str(d / "000.checkpoint"), start_time=0.0, epoch=0,
+                  g_losses=[], d_losses=[], state=state)
+    orbax_io.save(str(d / "001.checkpoint"), start_time=0.0, epoch=1,
+                  g_losses=[], d_losses=[], state=state)
+    # crash injection: epoch-1 checkpoint committed but meta never landed
+    os.remove(str(d / "001.checkpoint.orbax" / "meta.json"))
+    # plus an in-flight orbax temp dir and a .torch export
+    os.makedirs(str(d / "002.checkpoint.orbax.orbax-checkpoint-tmp-42"))
+    (d / "001.checkpoint.torch").write_bytes(b"not a checkpoint")
+
+    last = ckpt_io.get_last_checkpoint_path(str(d))
+    assert last == "000.checkpoint.orbax"
+    ckpt, _ = orbax_io.load(str(d / last), cfg, 1)
+    assert ckpt["epoch"] == 0
+
+
+def test_list_checkpoints_dedupes_and_filters(tmp_path, state1):
+    """eval 'all' enumeration: one entry per epoch even when both backends
+    (and export side-files) coexist; incomplete orbax dirs excluded."""
+    import os
+    import pickle
+
+    cfg, state = state1
+    d = tmp_path / "ckpts"
+    d.mkdir()
+    # epoch 0: native pickle; epoch 1: orbax; epoch 1 also exported .torch
+    with open(d / "000.checkpoint", "wb") as f:
+        pickle.dump({"epoch": 0}, f)
+    orbax_io.save(str(d / "001.checkpoint"), start_time=0.0, epoch=1,
+                  g_losses=[], d_losses=[], state=state)
+    (d / "001.checkpoint.torch").write_bytes(b"x")
+    # epoch 2: half-committed orbax (no meta)
+    orbax_io.save(str(d / "002.checkpoint"), start_time=0.0, epoch=2,
+                  g_losses=[], d_losses=[], state=state)
+    os.remove(str(d / "002.checkpoint.orbax" / "meta.json"))
+
+    assert ckpt_io.list_checkpoints(str(d)) == [
+        "000.checkpoint", "001.checkpoint.orbax"
+    ]

@@ -57,27 +57,50 @@ def test_dp_train_step_matches_single_device(mesh8):
     )
 
 
-def test_auto_dp_place_and_epoch_scan(mesh8):
-    """The train stage's automatic DP placement: state replicated, batch
-    dim sharded; a scanned epoch runs on the placed arrays."""
-    from scgrhc.train.run import _auto_dp_place
-    from scgrhc.train.wgan import train_epoch
+def test_dp_gather_place_and_epoch_scan(mesh8):
+    """The train stage's multi-chip epoch path: the store is replicated
+    into HBM once (NOT re-staged per epoch), only the (nb, B) permutation
+    crosses host→device, and DP engages even when the batch size doesn't
+    divide the mesh (B=17 on 8 devices → padded to 24 with 7 masked rows)."""
+    from scgrhc.data.store import SegmentStore
+    from scgrhc.train.run import _dp_gather_place, _pad_idx_mask
+    from scgrhc.train.wgan import train_epoch_gather
 
     cfg = TrainConfig(n_critic=1)
     state = init_state(jax.random.key(0), 1, cfg)
     rng = np.random.default_rng(1)
-    scg_b = jnp.asarray(rng.random((2, 8, 1, T)), jnp.float32)
-    rhc_b = jnp.asarray(rng.random((2, 8, 1, T)), jnp.float32)
+    N = 40
+    store = SegmentStore(
+        rng.random((N, 1, T)).astype(np.float32),
+        rng.random((N, 1, T)).astype(np.float32),
+        [f"r{i}" for i in range(N)], np.zeros(N, np.int64),
+        np.zeros(N, np.int64), np.zeros((N, 2)), np.zeros((N, 2)),
+        segment_samples=T,
+    )
 
-    assert _auto_dp_place(state, scg_b, rhc_b, bs=9) is None  # 9 % 8 != 0
-    placed = _auto_dp_place(state, scg_b, rhc_b, bs=8)
-    assert placed is not None
-    p_state, p_scg, p_rhc = placed
-    assert len(p_scg.sharding.device_set) == 8
+    # non-divisible batch: pad + mask
+    idx = rng.permutation(N)[: 2 * 17].reshape(2, 17).astype(np.int32)
+    p_state, scg_all, rhc_all, p_idx, mask = _dp_gather_place(state, store, idx)
+    assert p_idx.shape == (2, 24)  # padded to the next multiple of 8
+    assert mask is not None and float(np.asarray(mask).sum()) == 17.0
+    assert len(p_idx.sharding.device_set) == 8
+    assert len(scg_all.sharding.device_set) == 8  # resident on every chip
 
-    new_state, d_hist, g_hist = train_epoch(p_state, p_scg, p_rhc,
-                                            jax.random.key(2), cfg)
+    new_state, d_hist, g_hist = train_epoch_gather(
+        p_state, scg_all, rhc_all, p_idx, jax.random.key(2), cfg, mask
+    )
     assert np.isfinite(np.asarray(g_hist)).all()
+    assert np.isfinite(np.asarray(d_hist)).all()
+
+    # no per-epoch staging: a second epoch's placement reuses the SAME
+    # resident arrays (store-level cache hit) — only idx is new
+    idx2 = rng.permutation(N)[: 2 * 17].reshape(2, 17).astype(np.int32)
+    _, scg_all2, rhc_all2, _, _ = _dp_gather_place(new_state, store, idx2)
+    assert scg_all2 is scg_all and rhc_all2 is rhc_all
+
+    # divisible batch: no mask, idx untouched
+    idx8, mask8 = _pad_idx_mask(idx[:, :16], 8)
+    assert mask8 is None and idx8.shape == (2, 16)
 
 
 def test_frame_record_matches_reference_chopping():

@@ -337,7 +337,7 @@ def test_resume_from_genuine_torch_checkpoint(tmp_path):
     # our export round-trips into a real torch.optim.Adam
     native = str(tmp_path / "005.checkpoint")
     ckpt_io.save(native, start_time=0.0, epoch=5, g_losses=[], d_losses=[],
-                 state=new_state)
+                 state=new_state, cfg=cfg)
     exported = str(tmp_path / "005.torch.checkpoint")
     ckpt_io.export_torch(native, exported)
     back = torch.load(exported, weights_only=False)
@@ -345,6 +345,14 @@ def test_resume_from_genuine_torch_checkpoint(tmp_path):
     g2.load_state_dict(back["g_state_dict"])
     opt2 = torch.optim.Adam(g2.parameters(), lr=1e-4, betas=(0.5, 0.999))
     opt2.load_state_dict(back["g_optimizer_state_dict"])  # raises on mismatch
+    # torch adopts the SAVED param_groups wholesale, so the export must
+    # carry the full hyperparameter set — prove it by actually stepping
+    # (a params-only group would KeyError on 'lr'/'betas' right here)
+    opt2.zero_grad()
+    torch.nn.functional.mse_loss(g2(x), y).backward()
+    opt2.step()
+    assert opt2.param_groups[0]["lr"] == 1e-4
+    assert opt2.param_groups[0]["betas"] == (0.5, 0.999)
 
 
 @pytest.mark.slow
