@@ -1,78 +1,103 @@
-"""Headline benchmark: batched SCG→RHC generator inference throughput.
+"""Reproducible benchmark suite.  Prints ONE JSON line per invocation.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "segments/s/chip", "vs_baseline": N}
+Default (no args) is the driver headline: batched SCG→RHC generator
+inference throughput.  Other modes re-measure every BENCH.md table from
+committed code:
+
+    python bench.py                      # headline inference (f32)
+    python bench.py --mode inference --dtype bfloat16
+    python bench.py --mode train [--batch 64] [--dtype bfloat16]
+                    [--fuse off|2b|3b] [--loop step|epoch]
+    python bench.py --mode eval  [--ckpts 32] [--segments 512] [--stack 8]
+    python bench.py --mode stream [--minutes 10] [--continuous]
+    python bench.py --mode data
+    python bench.py --mode pallas
 
 The reference publishes no numbers (BASELINE.md), so ``vs_baseline``
-compares against the reference's own evaluation implementation measured
-live: a PyTorch batch-1 per-segment loop (reference: waveform_test.py:
-58-67 — it evaluates segment-by-segment on CPU, never batching and never
-using the GPU).  Ours is the same model architecture run as batched jitted
-XLA on the available accelerator.
+compares against the reference's own implementation style measured live
+(torch CPU, batch-1 eval loop / per-batch training loop — reference:
+waveform_test.py:58-67, waveform_train.py:357-381) where that is
+feasible, else null.
 
-Context for the value: 1 segment = 1.5 s of 500 Hz signal, so
-×real-time = value × 1.5 (north star in BASELINE.md: ≥50× ⇔ ≥33.4 seg/s).
+Timing methodology: on this machine's tunneled TPU backend
+``block_until_ready()`` returns before execution completes, so every
+loop reads back a scalar checksum per iteration — the only reliable
+completion barrier (adds one 4-byte transfer).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
-
 
 IN_CHANNELS = 3  # flagship config waveform_06
 T = 750
 BATCH = 1024
 
 
-def bench_jax() -> tuple[float, dict]:
+def _readback_time(fn, *args, seconds=3.0):
+    """(per-iteration seconds, iterations) with scalar-readback barrier."""
+    float(fn(*args))  # compile + warm
+    t0 = time.perf_counter()
+    float(fn(*args))
+    per_iter = time.perf_counter() - t0
+    iters = max(3, int(seconds / max(per_iter, 1e-4)))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        float(fn(*args))
+    return (time.perf_counter() - t0) / iters, iters
+
+
+def _flops_of(jitted, *args):
+    """XLA's own FLOP estimate for the compiled program (None if the
+    backend doesn't expose cost analysis)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):  # older jax returns [dict]
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:
+        return None
+
+
+def _emit(metric, value, unit, vs_baseline=None, **extra):
+    line = {"metric": metric, "value": round(float(value), 1), "unit": unit,
+            "vs_baseline": round(float(vs_baseline), 1) if vs_baseline else None}
+    line.update(extra)
+    print(json.dumps(line))
+
+
+# -- inference (the driver headline) ------------------------------------------
+
+
+def bench_jax(dtype="float32"):
     import jax
     import jax.numpy as jnp
 
     from scgrhc.models import generator
 
     g_params = generator.init(jax.random.key(0), IN_CHANNELS)
+    if dtype != "float32":
+        g_params = generator.cast_params(g_params, jnp.dtype(dtype))
     scg = jax.random.uniform(jax.random.key(1), (BATCH, IN_CHANNELS, T), jnp.float32)
+    if dtype != "float32":
+        scg = scg.astype(jnp.dtype(dtype))
 
-    # The jitted step returns a scalar checksum and timing reads it back to
-    # host each iteration: on this machine's tunneled TPU backend,
-    # block_until_ready() returns before execution finishes, so a plain
-    # dispatch loop over-reports throughput ~1000x.  A scalar readback is
-    # the only reliable completion barrier, and adds one 4-byte transfer.
-    fwd = jax.jit(lambda p, x: jnp.sum(generator.apply(p, x, train=False)))
-    float(fwd(g_params, scg))  # compile + warm
-
-    t0 = time.perf_counter()
-    float(fwd(g_params, scg))
-    per_iter = time.perf_counter() - t0
-    iters = max(3, int(3.0 / max(per_iter, 1e-4)))
-
-    t0 = time.perf_counter()
-    acc = 0.0
-    for _ in range(iters):
-        acc += float(fwd(g_params, scg))
-    dt = time.perf_counter() - t0
-    sps = BATCH * iters / dt
-    return sps, {"iters": iters, "batch": BATCH, "checksum": acc}
+    fwd = jax.jit(
+        lambda p, x: jnp.sum(generator.apply(p, x, train=False).astype(jnp.float32))
+    )
+    per_iter, iters = _readback_time(fwd, g_params, scg)
+    return BATCH / per_iter, {"iters": iters, "batch": BATCH}
 
 
-def bench_torch_reference() -> float | None:
+def bench_torch_reference():
     """Reference-style eval: torch batch-1 per-segment loop on CPU
     (waveform_test.py:58-67, 142-145)."""
     try:
         import torch
 
-        import importlib.util
-        import os
-
-        spec = importlib.util.spec_from_file_location(
-            "torch_oracles",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "tests", "torch_oracles.py"),
-        )
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
-
+        mod = _torch_oracles()
         g = mod.TorchGenerator(IN_CHANNELS).eval()
         x = torch.rand(1, IN_CHANNELS, T)
         with torch.no_grad():
@@ -87,20 +112,310 @@ def bench_torch_reference() -> float | None:
         return None
 
 
-def main() -> None:
-    sps, _ = bench_jax()
-    ref = bench_torch_reference()
-    vs = (sps / ref) if ref else None
-    print(
-        json.dumps(
-            {
-                "metric": "generator_inference_throughput",
-                "value": round(float(sps), 1),
-                "unit": "segments/s/chip",
-                "vs_baseline": round(float(vs), 1) if vs else None,
-            }
-        )
+def _torch_oracles():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "torch_oracles",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "tests", "torch_oracles.py"),
     )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def run_inference(args):
+    sps, _ = bench_jax(dtype=args.dtype)
+    ref = bench_torch_reference()
+    extra = {} if args.dtype == "float32" else {"dtype": args.dtype}
+    _emit("generator_inference_throughput", sps, "segments/s/chip",
+          (sps / ref) if ref else None, **extra)
+
+
+# -- training ------------------------------------------------------------------
+
+
+def run_train(args):
+    """WGAN-GP step throughput (n_critic critic updates + second-order GP +
+    generator update — reference: waveform_train.py:357-381) at the
+    flagship config shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from scgrhc.train.wgan import (
+        TrainConfig, init_state, train_epoch_gather, train_step,
+    )
+
+    cfg = TrainConfig(compute_dtype=args.dtype, critic_fuse=args.fuse)
+    b = args.batch
+    state = init_state(jax.random.key(0), IN_CHANNELS, cfg)
+    rng = np.random.default_rng(0)
+    nseg = max(4 * b, 256)
+    scg_all = jnp.asarray(rng.random((nseg, IN_CHANNELS, T)), jnp.float32)
+    rhc_all = jnp.asarray(rng.random((nseg, 1, T)), jnp.float32)
+
+    step_flops = _flops_of(
+        train_step, state, scg_all[:b], rhc_all[:b], jax.random.key(1), cfg
+    )
+
+    if args.loop == "step":
+        # time a closure over a persistent state (train_step donates it)
+        holder = {"state": state}
+
+        def fn():
+            st, d, g = train_step(
+                holder["state"], scg_all[:b], rhc_all[:b], jax.random.key(2), cfg
+            )
+            holder["state"] = st
+            return g
+
+        per_iter, iters = _readback_time(lambda: fn())
+        steps_per_iter = 1
+    else:
+        nb = args.nb
+        idx = jnp.asarray(
+            rng.integers(0, nseg, size=(nb, b)).astype(np.int32)
+        )
+        holder = {"state": state}
+
+        def fn():
+            st, d_hist, g_hist = train_epoch_gather(
+                holder["state"], scg_all, rhc_all, idx, jax.random.key(2), cfg
+            )
+            holder["state"] = st
+            return jnp.sum(g_hist)
+
+        per_iter, iters = _readback_time(lambda: fn(), seconds=5.0)
+        steps_per_iter = nb
+
+    step_time = per_iter / steps_per_iter
+    sps = b / step_time
+    tflops = (step_flops / step_time / 1e12) if step_flops else None
+    _emit("wgan_train_throughput", sps, "segments/s/chip",
+          tflops, batch=b, dtype=args.dtype, fuse=args.fuse, loop=args.loop,
+          ms_per_step=round(step_time * 1e3, 2),
+          tflops_sustained=round(tflops, 1) if tflops else None,
+          note="vs_baseline = TFLOPs sustained (XLA cost_analysis)")
+
+
+def run_train_torch_baseline(args):
+    """The reference's own training style: torch per-batch loop, CPU
+    (waveform_train.py:357-381).  Slow — measured over a few steps."""
+    import torch
+
+    mod = _torch_oracles()
+    b = min(args.batch, 16)
+    g = mod.TorchGenerator(IN_CHANNELS)
+    d = mod.TorchCritic(IN_CHANNELS)
+    g_opt = torch.optim.Adam(g.parameters(), lr=1e-4, betas=(0.5, 0.999))
+    d_opt = torch.optim.Adam(d.parameters(), lr=1e-4, betas=(0.5, 0.999))
+    scg = torch.rand(b, IN_CHANNELS, T)
+    rhc = torch.rand(b, 1, T)
+    mse = torch.nn.MSELoss()
+
+    def step():
+        for _ in range(2):
+            pred = g(scg)
+            d_opt.zero_grad()
+            loss = -d(torch.cat((scg, rhc), 1)).mean() + d(
+                torch.cat((scg, pred.detach()), 1)
+            ).mean() + 10.0 * mod.compute_gp(d, scg, rhc, pred.detach())
+            loss.backward()
+            d_opt.step()
+        g_opt.zero_grad()
+        pred = g(scg)
+        gl = -d(torch.cat((scg, rhc), 1)).mean() + 100.0 * mse(pred, rhc)
+        gl.backward()
+        g_opt.step()
+
+    step()  # warm
+    n = 3
+    t0 = time.perf_counter()
+    for _ in range(n):
+        step()
+    dt = (time.perf_counter() - t0) / n
+    _emit("wgan_train_torch_cpu_baseline", b / dt, "segments/s", None, batch=b)
+
+
+# -- eval (multi-checkpoint) ---------------------------------------------------
+
+
+def run_eval(args):
+    """Eval-all throughput: score K checkpoints over an S-segment split
+    (reference: one serial CPU loop per checkpoint, waveform_test.py:119-154).
+    Ours stacks checkpoints and vmaps the forward over the weight axis."""
+    import jax
+    import jax.numpy as jnp
+
+    from scgrhc.eval.infer import predict_split_multi
+    from scgrhc.data.store import SegmentStore
+    from scgrhc.models import generator
+
+    rng = np.random.default_rng(0)
+    S = args.segments
+    store = SegmentStore(
+        rng.random((S, IN_CHANNELS, T)).astype(np.float32),
+        rng.random((S, 1, T)).astype(np.float32),
+        [f"r{i}" for i in range(S)], np.zeros(S, np.int64),
+        np.zeros(S, np.int64), np.tile([0.0, 1.0], (S, 1)),
+        np.tile([0.0, 1.0], (S, 1)), segment_samples=T,
+    )
+    params_list = [
+        generator.init(jax.random.key(i), IN_CHANNELS) for i in range(args.ckpts)
+    ]
+
+    t0 = time.perf_counter()
+    out = predict_split_multi(
+        params_list, store, batch=256, stack=args.stack, dtype=args.dtype
+    )
+    # the scores dict is host-side numpy → computation is complete
+    assert len(out) == args.ckpts
+    dt = time.perf_counter() - t0
+    cps = args.ckpts / dt
+    _emit("eval_all_throughput", cps * S, "segment-evals/s/chip", None,
+          ckpts=args.ckpts, segments=S, stack=args.stack,
+          checkpoints_per_s=round(cps, 2))
+
+
+# -- streaming ----------------------------------------------------------------
+
+
+def run_stream(args):
+    import jax.numpy as jnp
+
+    import jax
+
+    from scgrhc.models import generator
+    from scgrhc.parallel.stream import stream_infer
+
+    L = int(args.minutes * 60 * 500)
+    g = generator.init(jax.random.key(0), IN_CHANNELS)
+    rec = np.random.default_rng(0).random((IN_CHANNELS, L)).astype(np.float32)
+
+    if args.continuous:
+        from scgrhc.models import cp
+
+        rec_d = jnp.asarray(rec)
+        np.asarray(cp.apply_continuous(g, rec_d))  # warm/compile
+        t0 = time.perf_counter()
+        np.asarray(cp.apply_continuous(g, rec_d))
+        dt = time.perf_counter() - t0
+        label = "continuous"
+    else:
+        stream_infer(g, rec, segment_samples=T)  # warm
+        t0 = time.perf_counter()
+        out = stream_infer(g, rec, segment_samples=T)
+        dt = time.perf_counter() - t0
+        label = "windowed"
+    xrt = (L / 500.0) / dt
+    _emit("stream_infer_xrealtime", xrt, "x_realtime/chip", None,
+          minutes=args.minutes, mode=label,
+          msamples_per_s=round(L / dt / 1e6, 2))
+
+
+# -- data stage ----------------------------------------------------------------
+
+
+def run_data(args):
+    """Dataset build throughput (segmentation + noise gate) on synthetic
+    records, host path (the default data_backend)."""
+    import tempfile
+
+    from scgrhc.core import paths
+    from scgrhc.dsp.segment import get_segments
+    from scgrhc.utils.synth import make_synthetic_database
+
+    class P:
+        in_channels = ["patch_ACC_lat", "patch_ACC_hf", "patch_ACC_dv"]
+        chamber = "PA"
+        segment_size = 1.5
+        min_RHC = -50
+        use_global_min_max = False
+
+    with tempfile.TemporaryDirectory() as td:
+        make_synthetic_database(td, n_records=4, duration_s=600.0)
+        old = paths.PROCESSED_DATA_PATH
+        paths.set_data_path(td)
+        try:
+            get_segments(P())  # warm imports
+            t0 = time.perf_counter()
+            segs = get_segments(P())
+            dt = time.perf_counter() - t0
+        finally:
+            paths.set_data_path(old)
+    total_s = 4 * 600.0
+    _emit("data_stage_throughput", total_s / dt, "signal-seconds/s", None,
+          segments=len(segs), records=4)
+
+
+# -- pallas -------------------------------------------------------------------
+
+
+def run_pallas(args):
+    """Fused on-device gate+normalize kernel vs the plain jnp framing path,
+    both on signal already resident in HBM."""
+    import jax
+    import jax.numpy as jnp
+
+    from scgrhc.ops.pallas.dsp import segment_record_on_device
+    from scgrhc.parallel.stream import _frame_norm
+
+    L = (10 * 60 * 500 // T) * T
+    rhc = jnp.asarray(np.random.default_rng(0).random((L,)), jnp.float32)
+    scg_lc = jnp.asarray(
+        np.random.default_rng(1).random((L, IN_CHANNELS)), jnp.float32
+    )
+    scg_cl = scg_lc.T
+
+    def fused():
+        keep, scg_n, rhc_n, mm_s, mm_r, starts = segment_record_on_device(
+            scg_lc, rhc, T, -50.0
+        )
+        return jnp.sum(scg_n) + jnp.sum(keep)
+
+    per_fused, _ = _readback_time(jax.jit(fused))
+
+    def plain():
+        return jnp.sum(_frame_norm(scg_cl, T, None))
+
+    per_plain, _ = _readback_time(jax.jit(plain))
+
+    n_windows = L // T
+    _emit("pallas_gate_normalize", n_windows / per_fused, "windows/s/chip",
+          per_plain / per_fused,
+          note="vs_baseline = speedup over plain jnp framing (no gate)")
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="inference",
+                    choices=["inference", "train", "train-torch", "eval",
+                             "stream", "data", "pallas"])
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--fuse", default="2b", choices=["off", "2b", "3b"])
+    ap.add_argument("--loop", default="epoch", choices=["step", "epoch"])
+    ap.add_argument("--nb", type=int, default=8)
+    ap.add_argument("--ckpts", type=int, default=32)
+    ap.add_argument("--segments", type=int, default=512)
+    ap.add_argument("--stack", type=int, default=8)
+    ap.add_argument("--minutes", type=float, default=10.0)
+    ap.add_argument("--continuous", action="store_true")
+    args = ap.parse_args(argv)
+
+    {
+        "inference": run_inference,
+        "train": run_train,
+        "train-torch": run_train_torch_baseline,
+        "eval": run_eval,
+        "stream": run_stream,
+        "data": run_data,
+        "pallas": run_pallas,
+    }[args.mode](args)
 
 
 if __name__ == "__main__":

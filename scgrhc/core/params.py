@@ -98,6 +98,20 @@ class Params:
         # the prediction) instead of reproducing the reference's
         # zero-gradient quirk (waveform_train.py:376)
         self.fix_g_adversarial = d.get("fix_g_adversarial", False)
+        # Training compute dtype ("float32" | "bfloat16"); bf16 keeps f32
+        # master weights/optimizer state (scgrhc.train.wgan TrainConfig)
+        self.train_dtype = d.get("train_dtype", "float32")
+        # Critic forward batching per critic step ("2b" | "3b" | "off");
+        # per-sample math is identical across modes (scgrhc.train.wgan)
+        self.critic_fuse = d.get("critic_fuse", "2b")
+        # How many checkpoints to score per vmapped eval program in
+        # 'test all' (weights stacked on a leading axis; 1 = serial)
+        self.eval_stack = d.get("eval_stack", 8)
+        # "native" = scgrhc dict loader files; "torch" = genuine pickled
+        # torch DataLoader objects, byte-compatible with the reference's
+        # artifacts (recordutil.py:202-209) — both remain readable by
+        # scgrhc (scgrhc.data.loaders reads either format)
+        self.loader_backend = d.get("loader_backend", "native")
 
     @staticmethod
     def init_json(path: str) -> dict[str, Any]:

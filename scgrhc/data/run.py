@@ -51,9 +51,22 @@ def save_dataloaders(params) -> None:
     valid_loader = SegmentLoader(make(valid_segments), 1, shuffle=True, seed=params.seed)
     test_loader = SegmentLoader(make(test_segments), 1, shuffle=True, seed=params.seed)
 
-    train_loader.save(params.train_path)
-    valid_loader.save(params.valid_path)
-    test_loader.save(params.test_path)
+    if getattr(params, "loader_backend", "native") == "torch":
+        # write the reference's artifact format directly: genuine pickled
+        # torch DataLoaders (recordutil.py:202-209) — the reference
+        # pipeline can consume this dataset unchanged, and scgrhc reads
+        # the same files back through its torch-pickle shim
+        from scgrhc.data.torch_export import export_torch_loader
+
+        export_torch_loader(
+            train_loader.dataset, params.batch_size, True, params.train_path
+        )
+        export_torch_loader(valid_loader.dataset, 1, True, params.valid_path)
+        export_torch_loader(test_loader.dataset, 1, True, params.test_path)
+    else:
+        train_loader.save(params.train_path)
+        valid_loader.save(params.valid_path)
+        test_loader.save(params.test_path)
 
     with open(os.path.join(params.dir_path, "record_log.txt"), "w") as f:
         f.write(f"Dataset created: {datetime.now()}\n")

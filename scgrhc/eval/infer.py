@@ -20,17 +20,40 @@ from scgrhc.eval import metrics
 from scgrhc.models import generator
 
 
-@partial(jax.jit, static_argnames=("n", "dtype"))
-def _chunk_scores(g_params, scg, rhc, mm_rhc, n: int, dtype: str = "float32"):
-    """One chunk: forward → denorm → metrics.  scg (B, C, T), rhc (B, 1, T),
-    mm_rhc (B, 2).  Denormalization matches waveform_test.py:21-25,64-67.
-    Denorm + metrics always run in f32, whatever the model compute dtype."""
+def _chunk_scores_impl(g_params, scg, rhc, mm_rhc, dtype: str):
     pred = generator.apply(g_params, scg, train=False, dtype=jnp.dtype(dtype))
     lo = mm_rhc[:, :1].astype(jnp.float32)
     span = (mm_rhc[:, 1:] - mm_rhc[:, :1]).astype(jnp.float32)
     x = rhc[:, 0, :] * span + lo  # real, denormalized
     y = pred[:, 0, :].astype(jnp.float32) * span + lo  # predicted, denormalized
     return x, y, metrics.segment_scores(x, y)
+
+
+@partial(jax.jit, static_argnames=("n", "dtype"))
+def _chunk_scores(g_params, scg, rhc, mm_rhc, n: int, dtype: str = "float32"):
+    """One chunk: forward → denorm → metrics.  scg (B, C, T), rhc (B, 1, T),
+    mm_rhc (B, 2).  Denormalization matches waveform_test.py:21-25,64-67.
+    Denorm + metrics always run in f32, whatever the model compute dtype."""
+    return _chunk_scores_impl(g_params, scg, rhc, mm_rhc, dtype)
+
+
+@partial(jax.jit, static_argnames=("n", "dtype"))
+def _chunk_scores_stacked(stacked_params, scg, rhc, mm_rhc, n: int, dtype: str):
+    """K checkpoints' generators over ONE segment chunk in a single program:
+    every weight leaf carries a leading (K,) axis and the forward is vmapped
+    over it (the reference reloads and loops checkpoints serially,
+    waveform_test.py:119-154).  Returns (x (B, T), ys (K, B, T), scores
+    pytree with (K, B) leaves)."""
+    lo = mm_rhc[:, :1].astype(jnp.float32)
+    span = (mm_rhc[:, 1:] - mm_rhc[:, :1]).astype(jnp.float32)
+    x = rhc[:, 0, :] * span + lo  # real — checkpoint-independent
+
+    def one(p):
+        _, y, sc = _chunk_scores_impl(p, scg, rhc, mm_rhc, dtype)
+        return y, sc
+
+    ys, scores = jax.vmap(one)(stacked_params)
+    return x, ys, scores
 
 
 def predict_split(
@@ -80,3 +103,74 @@ def predict_split(
         for k in (scores[0] if scores else {})
     }
     return real, pred, merged
+
+
+def stack_params(params_list):
+    """K same-shaped weight pytrees → one pytree with (K, ...) leaves."""
+    return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                        *params_list)
+
+
+def predict_split_multi(
+    params_list, store, batch: int = 256, stack: int = 8,
+    sharding=None, dtype: str = "float32",
+):
+    """Score K checkpoints over a whole split, amortizing the segment
+    batches: checkpoints are stacked ``stack`` at a time on a leading
+    weight axis and vmapped over, so each segment chunk is loaded once per
+    group instead of once per checkpoint (the reference's eval reloads the
+    split per checkpoint in a serial CPU loop, waveform_test.py:119-154).
+
+    Returns a list of K (real, pred, scores) tuples ordered like
+    ``params_list`` — the same contract as calling :func:`predict_split`
+    per checkpoint (``real`` is shared across checkpoints).
+    """
+    n = len(store)
+    k = len(params_list)
+    if k == 0:
+        return []
+    scg_d, rhc_d = store.device_arrays()
+    mm = jnp.asarray(store.minmax_rhc)
+    batch = max(1, min(batch, n))
+    if sharding is not None and batch % sharding.mesh.devices.size != 0:
+        sharding = None
+    if jnp.dtype(dtype) != jnp.float32:
+        params_list = [
+            generator.cast_params(p, jnp.dtype(dtype)) for p in params_list
+        ]
+
+    results = []
+    for g0 in range(0, k, stack):
+        group = params_list[g0 : g0 + stack]
+        if len(group) < stack:  # pad-to-static: one compile for all groups
+            group = group + [group[-1]] * (stack - len(group))
+        stacked = stack_params(group)
+        xs, yss, scs = [], [], []
+        for s in range(0, n, batch):
+            e = min(s + batch, n)
+            pad = batch - (e - s)
+            scg, rhc, mm_c = scg_d[s:e], rhc_d[s:e], mm[s:e]
+            if pad:
+                scg = jnp.pad(scg, ((0, pad), (0, 0), (0, 0)))
+                rhc = jnp.pad(rhc, ((0, pad), (0, 0), (0, 0)))
+                mm_c = jnp.pad(mm_c, ((0, pad), (0, 0)), constant_values=(0.0, 1.0))
+            if sharding is not None:
+                scg = jax.device_put(scg, sharding)
+                rhc = jax.device_put(rhc, sharding)
+                mm_c = jax.device_put(mm_c, sharding)
+            x, ys, sc = _chunk_scores_stacked(stacked, scg, rhc, mm_c, batch, dtype)
+            keep = e - s
+            xs.append(np.asarray(x[:keep]))
+            yss.append(np.asarray(ys[:, :keep]))
+            scs.append({kk: np.asarray(v[:, :keep]) for kk, v in sc.items()})
+
+        real = np.concatenate(xs)
+        preds = np.concatenate(yss, axis=1)  # (stack, N, T)
+        merged = {
+            kk: np.concatenate([s[kk] for s in scs], axis=1) for kk in scs[0]
+        }
+        for j in range(len(params_list[g0 : g0 + stack])):
+            results.append(
+                (real, preds[j], {kk: v[j] for kk, v in merged.items()})
+            )
+    return results

@@ -56,15 +56,9 @@ def get_processed_checkpoints(comp_dir_path: str) -> frozenset:
     )
 
 
-def get_waveform_comparisons(
-    g_params, loader, batch: int = 256, sharding=None, dtype: str = "float32"
-):
-    """Per-segment comparison rows (reference: waveform_test.py:53-85),
-    computed by one batched device program per chunk."""
-    store = loader.dataset
-    real, pred, scores = predict_split(
-        g_params, store, batch=batch, sharding=sharding, dtype=dtype
-    )
+def _comparison_rows(store, real, pred, scores):
+    """(real, pred, scores) arrays → per-segment comparison rows
+    (reference row schema: waveform_test.py:72-85)."""
     comparisons = []
     for i in range(len(store)):
         comparisons.append(
@@ -85,9 +79,31 @@ def get_waveform_comparisons(
     return comparisons
 
 
-def run(params, loader_type: str, checkpoint_path: str) -> None:
+def get_waveform_comparisons(
+    g_params, loader, batch: int = 256, sharding=None, dtype: str = "float32"
+):
+    """Per-segment comparison rows (reference: waveform_test.py:53-85),
+    computed by one batched device program per chunk."""
+    store = loader.dataset
+    real, pred, scores = predict_split(
+        g_params, store, batch=batch, sharding=sharding, dtype=dtype
+    )
+    return _comparison_rows(store, real, pred, scores)
+
+
+def _write_comparison_csv(comparisons, comp_dir_path, ckpt_name):
     import pandas as pd
 
+    comparisons.sort(key=lambda c: c["pcc_r"], reverse=True)
+    checkpoint_str = ckpt_name.split(".")[0]
+    comparison_path = os.path.join(comp_dir_path, f"{checkpoint_str}.csv")
+    # explicit columns: an empty split still writes a parseable header
+    pd.DataFrame(comparisons, columns=CSV_COLUMNS).to_csv(
+        comparison_path, index=False
+    )
+
+
+def run(params, loader_type: str, checkpoint_path: str) -> None:
     start_time = time()
     checkpoint_message = f"{checkpoint_path if checkpoint_path else 'last checkpoint'}"
     print(
@@ -162,21 +178,33 @@ def run(params, loader_type: str, checkpoint_path: str) -> None:
             np.asarray, torch_compat.generator_from_torch_sd(ckpt["g_state_dict"])
         )
 
+    def print_line(i: int) -> None:
+        # log-line parity: the reference prints i/len over ALL checkpoints,
+        # including already-processed ones (waveform_test.py:138-140)
+        print(
+            timelog(
+                f"waveform_test | {params.dir_path} | {loader_type} | "
+                f"{checkpoint_message} | {i}/{len(checkpoint_paths)}",
+                start_time,
+            )
+        )
+
+    stack = max(1, int(getattr(params, "eval_stack", 8)))
+    sharding = _auto_sharding(params.eval_batch)
+    if len(todo) > 1 and stack > 1:
+        _run_stacked(
+            params, loader, checkpoint_paths, todo, comp_dir_path,
+            load_g_params, print_line, stack, sharding, loader_type,
+        )
+        return
+
     pool = ThreadPoolExecutor(max_workers=1)
     pending = pool.submit(load_g_params, todo[0]) if todo else None
     next_todo = 1
 
     try:
         for i, ckpt_name in enumerate(checkpoint_paths):
-            # log-line parity: the reference prints i/len over ALL checkpoints,
-            # including already-processed ones (waveform_test.py:138-140)
-            print(
-                timelog(
-                    f"waveform_test | {params.dir_path} | {loader_type} | "
-                    f"{checkpoint_message} | {i}/{len(checkpoint_paths)}",
-                    start_time,
-                )
-            )
+            print_line(i)
             if is_processed(ckpt_name):
                 continue
             g_params = pending.result()
@@ -190,17 +218,83 @@ def run(params, loader_type: str, checkpoint_path: str) -> None:
             with trace(f"eval_{loader_type}"):
                 comparisons = get_waveform_comparisons(
                     g_params, loader, batch=params.eval_batch, dtype=params.dtype,
-                    sharding=_auto_sharding(params.eval_batch),
+                    sharding=sharding,
                 )
-            comparisons.sort(key=lambda c: c["pcc_r"], reverse=True)
-
-            checkpoint_str = ckpt_name.split(".")[0]
-            comparison_path = os.path.join(comp_dir_path, f"{checkpoint_str}.csv")
-            # explicit columns: an empty split still writes a parseable header
-            pd.DataFrame(comparisons, columns=CSV_COLUMNS).to_csv(
-                comparison_path, index=False
-            )
+            _write_comparison_csv(comparisons, comp_dir_path, ckpt_name)
     finally:
         if pending is not None:
             pending.cancel()
         pool.shutdown(wait=False, cancel_futures=True)
+
+
+def _run_stacked(
+    params, loader, checkpoint_paths, todo, comp_dir_path,
+    load_g_params, print_line, stack, sharding, loader_type,
+):
+    """'test all' with checkpoint stacking: groups of ``stack`` checkpoints
+    are scored by ONE vmapped program per segment chunk (weights carry a
+    leading (K,) axis), the next group's checkpoint files load on a
+    background thread while the current group computes on device, and row
+    building + CSV serialization run on writer threads off the device
+    critical path.  The reference reloads the model and loops segments
+    serially per checkpoint (waveform_test.py:119-154)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from scgrhc.eval.infer import predict_split_multi
+
+    store = loader.dataset
+    groups = [todo[i : i + stack] for i in range(0, len(todo), stack)]
+    load_pool = ThreadPoolExecutor(max_workers=1)
+    write_pool = ThreadPoolExecutor(max_workers=2)
+
+    def load_group(names):
+        return [load_g_params(n) for n in names]
+
+    pending = load_pool.submit(load_group, groups[0])
+    cursor = 0  # print-line cursor over checkpoint_paths (order parity)
+    writes = []
+    try:
+        for gi, names in enumerate(groups):
+            loaded = pending.result()
+            pending = (
+                load_pool.submit(load_group, groups[gi + 1])
+                if gi + 1 < len(groups)
+                else None
+            )
+            with trace(f"eval_{loader_type}"):
+                results = predict_split_multi(
+                    loaded, store, batch=params.eval_batch, stack=stack,
+                    sharding=sharding, dtype=params.dtype,
+                )
+            for name, (real, pred, scores) in zip(names, results):
+                while (
+                    cursor < len(checkpoint_paths)
+                    and checkpoint_paths[cursor] != name
+                ):
+                    print_line(cursor)
+                    cursor += 1
+                if cursor < len(checkpoint_paths):
+                    print_line(cursor)
+                    cursor += 1
+                writes.append(
+                    write_pool.submit(
+                        _build_and_write, store, real, pred, scores,
+                        comp_dir_path, name,
+                    )
+                )
+        while cursor < len(checkpoint_paths):
+            print_line(cursor)
+            cursor += 1
+        for w in writes:
+            w.result()  # surface writer exceptions
+    finally:
+        if pending is not None:
+            pending.cancel()
+        load_pool.shutdown(wait=False, cancel_futures=True)
+        write_pool.shutdown(wait=True)
+
+
+def _build_and_write(store, real, pred, scores, comp_dir_path, name):
+    _write_comparison_csv(
+        _comparison_rows(store, real, pred, scores), comp_dir_path, name
+    )

@@ -125,6 +125,17 @@ def dispatch(argv: list[str]) -> int:
             ckpt_io.export_torch(src, out)
         print(f"Exported {src} -> {out}")
         return 0
+    if cmd == "export-loaders":
+        # scgrhc export-loaders <dir> [out_dir] — re-encode the experiment's
+        # loader files as genuine pickled torch DataLoaders the reference
+        # scripts load unchanged (reference: recordutil.py:202-224)
+        from scgrhc.data.torch_export import export_torch_loaders
+
+        params = Params(os.path.join(argv[1], "params.json"))
+        out_dir = argv[2] if len(argv) > 2 else None
+        for path in export_torch_loaders(params, out_dir):
+            print(f"Exported {path}")
+        return 0
     if cmd == "report":
         from scgrhc.pipeline import report
 

@@ -247,3 +247,62 @@ def test_select_stage_and_pipeline_handshake(exp_dir):
     want = pearsonr(all_real, all_pred).statistic
     got = scores.loc[scores["checkpoint"] == "000.checkpoint", "pcc_r"].item()
     assert abs(got - want) < 1e-12
+
+
+def test_predict_split_multi_matches_serial(g_setup):
+    """Stacked multi-checkpoint eval == predict_split per checkpoint
+    (same chunking, weights just carry a leading vmap axis)."""
+    from scgrhc.eval.infer import predict_split_multi
+
+    cfg, state, store = g_setup
+    params_list = [
+        init_state(jax.random.key(i), 2, cfg).g_params for i in range(5)
+    ]
+    multi = predict_split_multi(params_list, store, batch=4, stack=2)
+    assert len(multi) == 5
+    for i, p in enumerate(params_list):
+        r1, p1, s1 = predict_split(p, store, batch=4)
+        r2, p2, s2 = multi[i]
+        np.testing.assert_allclose(r1, r2, atol=1e-5)
+        # vmap re-fuses the convs -> f32 reassociation jitter, amplified by
+        # the ~50-unit denormalization span
+        np.testing.assert_allclose(p1, p2, atol=2e-3)
+        np.testing.assert_allclose(s1["pcc_r"], s2["pcc_r"], atol=1e-4)
+        np.testing.assert_allclose(s1["rmse"], s2["rmse"], rtol=1e-4)
+
+
+def test_eval_stage_stacked_equals_serial(exp_dir):
+    """'test all' writes identical CSVs whether checkpoints are scored
+    serially (eval_stack=1) or stacked+vmapped (the default)."""
+    import pandas as pd
+    import shutil
+
+    from scgrhc.eval import run as eval_run
+
+    comp = os.path.join(exp_dir.comparison_dir_path, "valid")
+    exp_dir.eval_stack = 1
+    eval_run.run(exp_dir, "valid", "all")
+    serial = {
+        f: pd.read_csv(os.path.join(comp, f)) for f in sorted(os.listdir(comp))
+    }
+    shutil.rmtree(comp)
+    exp_dir.eval_stack = 8
+    eval_run.run(exp_dir, "valid", "all")
+    stacked = {
+        f: pd.read_csv(os.path.join(comp, f)) for f in sorted(os.listdir(comp))
+    }
+    assert serial.keys() == stacked.keys() and len(serial) == 2
+    for f in serial:
+        a, b = serial[f], stacked[f]
+        assert list(a.columns) == list(b.columns)
+        np.testing.assert_allclose(
+            a["pcc_r"].to_numpy(), b["pcc_r"].to_numpy(), atol=1e-4
+        )
+        assert list(a["filename"]) == list(b["filename"])
+        # full waveform strings round-trip identically through both paths
+        from scgrhc.select.run import get_float_array
+
+        np.testing.assert_allclose(
+            get_float_array(a["pred_rhc"][0]), get_float_array(b["pred_rhc"][0]),
+            atol=2e-3,
+        )
