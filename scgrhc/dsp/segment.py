@@ -88,6 +88,14 @@ def segment_interval(
     total = num * segment_samples
     rhc_windows = rhc_signal[:total, 0].reshape(num, segment_samples)
     keep = gate_windows(rhc_windows, min_rhc)
+    # Invalid-sample handling (scgrhc extension): the WFDB reader maps
+    # flagged-missing samples to NaN like wfdb.rdrecord; windows touching
+    # one are dropped.  (The reference would crash here instead — sklearn's
+    # LinearRegression inside has_noise rejects NaN, waveform_noise.py:31-33
+    # — so dropping is the only useful semantics.)
+    keep &= ~np.isnan(rhc_windows).any(axis=-1)
+    scg_windows = scg_signal[:total].reshape(num, segment_samples, -1)
+    keep &= ~np.isnan(scg_windows).any(axis=(1, 2))
     out = []
     for i in np.nonzero(keep)[0]:
         s = int(i) * segment_samples
@@ -120,6 +128,15 @@ def segment_interval_device(
     keep, *_rest, starts = segment_record_on_device(
         scg_signal, rhc_signal[:, 0], segment_samples, min_rhc
     )
+    keep = np.asarray(keep).copy()
+    # same NaN (invalid-sample) drop as the host gate — see segment_interval
+    total = num * segment_samples
+    keep &= ~np.isnan(
+        rhc_signal[:total, 0].reshape(num, segment_samples)
+    ).any(axis=-1)
+    keep &= ~np.isnan(
+        scg_signal[:total].reshape(num, segment_samples, -1)
+    ).any(axis=(1, 2))
     out = []
     for i in np.nonzero(np.asarray(keep))[0]:
         s = int(starts[i])

@@ -4,15 +4,24 @@ The reference relies on the ``wfdb`` PyPI package only for
 ``wfdb.rdrecord(...).p_signal`` / ``.sig_name`` (reference:
 recordutil.py:113-119,137).  This module provides that surface from scratch:
 a pure-NumPy parser for WFDB ``.hea`` headers and ``.dat`` signal files, plus
-a writer used by the synthetic-record test fixtures.  An optional C++ decoder
-(``scgrhc.io._native``) accelerates the hot int16→float conversion when the
-shared library has been built; the NumPy path is always available.
+a writer used by the synthetic-record test fixtures.  An optional C decoder
+(``scgrhc.native._wfdbfast``) accelerates the hot decode+calibrate pass when
+the shared library has been built; the NumPy path is always available.
 
 Supported signal storage formats: 16 (little-endian int16 — the common case
-for this dataset), 32 (little-endian int32), 80 (8-bit offset binary), and
-212 (packed 12-bit pairs, the classic PhysioNet format).  Each signal group
-may live in its own ``.dat`` file or share one interleaved file, as in the
-WFDB spec.
+for this dataset), 61 (big-endian int16), 32 (little-endian int32), 24
+(little-endian 3-byte), 80 (8-bit offset binary), 160 (16-bit offset
+binary), 212 (packed 12-bit pairs, the classic PhysioNet format), and 8
+(8-bit first differences).  Formats 310/311 raise a clear error.  Each
+signal group may live in its own ``.dat`` file or share one interleaved
+file; ``fmtxN`` multi-frame signals (``samps_per_frame`` > 1) are smoothed
+by frame averaging, matching ``wfdb.rdrecord``'s default
+``smooth_frames=True``.
+
+Invalid-sample sentinels map to NaN in ``p_signal`` exactly like the wfdb
+package: −32768 (fmt 16/61), −2048 (fmt 212), −2147483648 (fmt 32),
+−8388608 (fmt 24), −128 (fmt 80), −32768 (fmt 160).  Format 8 stores
+differences and has no representable sentinel.
 
 Physical conversion follows the WFDB spec: ``p = (adc - baseline) / gain``
 with gain defaulting to 200 when the header gives 0.
@@ -43,6 +52,21 @@ class SignalSpec:
     checksum: int
     block_size: int
     sig_name: str
+    samps_per_frame: int = 1
+
+
+# Invalid-sample sentinel ADC values per format (WFDB spec; the wfdb
+# package maps these to NaN in p_signal — recordutil.py:137 consumes
+# p_signal, so parity requires the same mapping).
+SENTINELS = {
+    "16": -32768,
+    "61": -32768,
+    "160": -32768,
+    "212": -2048,
+    "32": -2147483648,
+    "24": -8388608,
+    "80": -128,
+}
 
 
 @dataclass
@@ -94,7 +118,13 @@ def read_header(hea_path: str) -> tuple[str, float, int, list[SignalSpec]]:
     for line in lines[1 : 1 + n_sig]:
         toks = line.split()
         file_name = toks[0]
-        fmt = toks[1].split("x")[0].split(":")[0].split("+")[0]
+        # format token: fmt[xSPF][:skew][+byte_offset]
+        fmt_tok = toks[1].split(":")[0].split("+")[0]
+        if "x" in fmt_tok:
+            fmt, spf_s = fmt_tok.split("x", 1)
+            samps_per_frame = int(spf_s)
+        else:
+            fmt, samps_per_frame = fmt_tok, 1
         gain, baseline, units = (
             _parse_gain_baseline_units(toks[2]) if len(toks) > 2 else (0.0, None, "")
         )
@@ -121,24 +151,33 @@ def read_header(hea_path: str) -> tuple[str, float, int, list[SignalSpec]]:
                 checksum=checksum,
                 block_size=block_size,
                 sig_name=sig_name,
+                samps_per_frame=samps_per_frame,
             )
         )
     return record_name, fs, sig_len, specs
 
 
-def _decode_dat(path: str, fmt: str, n_sig: int, sig_len: int) -> np.ndarray:
-    """Decode one ``.dat`` file holding ``n_sig`` interleaved signals.
-
-    Returns an int32 array of shape (sig_len, n_sig) of raw ADC values.
-    """
-    raw = np.fromfile(path, dtype=np.uint8)
+def _decode_stream(raw: np.ndarray, fmt: str, path: str) -> np.ndarray:
+    """uint8 buffer → flat int32 sample (or, for fmt 8, difference) stream."""
     if fmt == "16":
-        adc = raw.view("<i2").astype(np.int32)
-    elif fmt == "32":
-        adc = raw.view("<i4").astype(np.int32)
-    elif fmt == "80":
-        adc = raw.astype(np.int32) - 128
-    elif fmt == "212":
+        return raw[: raw.size // 2 * 2].view("<i2").astype(np.int32)
+    if fmt == "61":
+        return raw[: raw.size // 2 * 2].view(">i2").astype(np.int32)
+    if fmt == "32":
+        return raw[: raw.size // 4 * 4].view("<i4").astype(np.int32)
+    if fmt == "24":
+        n = raw.size // 3
+        b = raw[: n * 3].reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v[v > 0x7FFFFF] -= 0x1000000  # sign-extend 24-bit
+        return v
+    if fmt == "80":
+        return raw.astype(np.int32) - 128
+    if fmt == "160":
+        return raw[: raw.size // 2 * 2].view("<u2").astype(np.int32) - 32768
+    if fmt == "8":
+        return raw.view(np.int8).astype(np.int32)  # first differences
+    if fmt == "212":
         # Packed 12-bit pairs: 3 bytes → 2 samples.
         n_pairs = raw.size // 3
         b = raw[: n_pairs * 3].reshape(-1, 3).astype(np.int32)
@@ -148,8 +187,20 @@ def _decode_dat(path: str, fmt: str, n_sig: int, sig_len: int) -> np.ndarray:
         adc[0::2] = first
         adc[1::2] = second
         adc[adc > 2047] -= 4096  # sign-extend 12-bit
-    else:
-        raise ValueError(f"Unsupported WFDB format {fmt!r} in {path}")
+        return adc
+    raise ValueError(
+        f"Unsupported WFDB format {fmt!r} in {path} "
+        "(supported: 8/16/24/32/61/80/160/212; 310/311 are not implemented "
+        "— convert the record with `wfdb` tooling first)"
+    )
+
+
+def _decode_dat(path: str, fmt: str, n_sig: int, sig_len: int) -> np.ndarray:
+    """Decode one ``.dat`` file holding ``n_sig`` interleaved single-frame
+    signals.  Returns an int32 array of shape (sig_len, n_sig) of raw ADC
+    values (fmt 8 returns differences; see :func:`rdrecord`)."""
+    raw = np.fromfile(path, dtype=np.uint8)
+    adc = _decode_stream(raw, fmt, path)
     total = n_sig * sig_len
     if adc.size < total:
         raise ValueError(
@@ -181,11 +232,22 @@ def rdrecord(record_path: str) -> Record:
             raise ValueError(f"Mixed formats in {file_name}: {fmts}")
         fmt = fmts.pop()
         path = os.path.join(dirname, file_name)
+        frame_samps = [specs[i].samps_per_frame for i in idxs]
+        single_frame = all(s == 1 for s in frame_samps)
+        if fmt == "8" and not single_frame:
+            raise ValueError(
+                f"{path}: format 8 with samps_per_frame > 1 is not supported"
+            )
 
         from scgrhc import native
 
-        if native.decode_calibrate is not None and fmt in ("16", "32", "80", "212"):
-            # fused native path: decode + calibrate in one C pass
+        if (
+            native.decode_calibrate is not None
+            and single_frame
+            and fmt in ("16", "32", "80", "212")
+        ):
+            # fused native path: decode + calibrate (+ sentinel→NaN) in one
+            # C pass
             with open(path, "rb") as f:
                 raw = f.read()
             cal = native.decode_calibrate(
@@ -197,10 +259,34 @@ def rdrecord(record_path: str) -> Record:
                 p_signal[:, sig_idx] = cal[:, col]
             continue
 
-        adc = _decode_dat(path, fmt, len(idxs), sig_len)
-        for col, sig_idx in enumerate(idxs):
+        frame_size = sum(frame_samps)
+        raw = np.fromfile(path, dtype=np.uint8)
+        adc = _decode_stream(raw, fmt, path)
+        total = frame_size * sig_len
+        if adc.size < total:
+            raise ValueError(
+                f"{path}: .dat holds {adc.size} samples but header promises "
+                f"{total} ({frame_size} samples/frame x {sig_len} frames)"
+            )
+        frames = adc[:total].reshape(sig_len, frame_size)
+        sentinel = SENTINELS.get(fmt)
+        col = 0
+        for sig_idx, spf in zip(idxs, frame_samps):
             spec = specs[sig_idx]
-            p_signal[:, sig_idx] = (adc[:, col] - spec.baseline) / spec.gain
+            block = frames[:, col : col + spf]
+            col += spf
+            if fmt == "8":
+                # first differences: samples = init_value + cumsum(diffs)
+                block = spec.init_value + np.cumsum(block[:, 0])[:, None]
+                invalid = None
+            else:
+                invalid = block == sentinel
+            phys = (block.astype(np.float64) - spec.baseline) / spec.gain
+            if invalid is not None and invalid.any():
+                phys[invalid] = np.nan
+            # multi-frame smoothing = frame mean (wfdb smooth_frames=True);
+            # a frame with any invalid sample smooths to NaN
+            p_signal[:, sig_idx] = phys[:, 0] if spf == 1 else phys.mean(axis=1)
     return Record(
         record_name=record_name,
         fs=fs,

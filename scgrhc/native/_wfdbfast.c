@@ -1,18 +1,21 @@
 /* _wfdbfast — native WFDB .dat decoder for scgrhc.
  *
  * Fuses sample decoding (formats 16 / 32 / 80 / 212), de-interleaving,
- * and per-signal baseline/gain calibration into a single C pass that
+ * invalid-sample sentinel mapping (NaN, like wfdb.rdrecord), and
+ * per-signal baseline/gain calibration into a single C pass that
  * writes the final float64 (sig_len, n_sig) physical-signal matrix.
  * The NumPy fallback in scgrhc/io/wfdb.py performs the same work as
  * ~6 vectorized passes with intermediate allocations; for multi-hour
  * 500 Hz clinical records this path halves record-load latency and
  * peak memory.  (Semantics reference: recordutil.py:137 wfdb.rdrecord;
- * format definitions per the WFDB spec.)
+ * format definitions + sentinel values per the WFDB spec: -32768 for
+ * fmt 16, -2147483648 for fmt 32, -128 for fmt 80, -2048 for fmt 212.)
  */
 #define PY_SSIZE_T_CLEAN
 #define NPY_NO_DEPRECATED_API NPY_1_7_API_VERSION
 #include <Python.h>
 #include <numpy/arrayobject.h>
+#include <math.h>
 #include <stdint.h>
 
 /* decode_calibrate(raw: bytes, fmt: int, n_sig: int, sig_len: int,
@@ -97,7 +100,8 @@ decode_calibrate(PyObject *self, PyObject *args)
             const uint8_t *p = buf + (size_t)(t * n_sig) * 2;
             for (Py_ssize_t s = 0; s < n_sig; s++) {
                 int16_t v = (int16_t)(p[2 * s] | ((uint16_t)p[2 * s + 1] << 8));
-                o[t * n_sig + s] = ((double)v - baselines[s]) / gains[s];
+                o[t * n_sig + s] = (v == INT16_MIN)
+                    ? NAN : ((double)v - baselines[s]) / gains[s];
             }
         }
         break;
@@ -110,7 +114,8 @@ decode_calibrate(PyObject *self, PyObject *args)
                 int32_t v = (int32_t)((uint32_t)q[0] | ((uint32_t)q[1] << 8) |
                                       ((uint32_t)q[2] << 16) |
                                       ((uint32_t)q[3] << 24));
-                o[t * n_sig + s] = ((double)v - baselines[s]) / gains[s];
+                o[t * n_sig + s] = (v == INT32_MIN)
+                    ? NAN : ((double)v - baselines[s]) / gains[s];
             }
         }
         break;
@@ -120,7 +125,8 @@ decode_calibrate(PyObject *self, PyObject *args)
             const uint8_t *p = buf + (size_t)(t * n_sig);
             for (Py_ssize_t s = 0; s < n_sig; s++) {
                 int v = (int)p[s] - 128;
-                o[t * n_sig + s] = ((double)v - baselines[s]) / gains[s];
+                o[t * n_sig + s] = (v == -128)
+                    ? NAN : ((double)v - baselines[s]) / gains[s];
             }
         }
         break;
@@ -139,7 +145,8 @@ decode_calibrate(PyObject *self, PyObject *args)
                 v -= 4096;
             Py_ssize_t s = k % n_sig;
             Py_ssize_t t = k / n_sig;
-            o[t * n_sig + s] = ((double)v - baselines[s]) / gains[s];
+            o[t * n_sig + s] = (v == -2048)
+                ? NAN : ((double)v - baselines[s]) / gains[s];
         }
         break;
     }

@@ -26,8 +26,9 @@ def test_wfdb_roundtrip(tmp_path):
 
 
 def test_wfdb_format_212(tmp_path):
-    """Hand-packed 12-bit pairs decode correctly, incl. negative values."""
-    samples = np.array([100, -5, 2047, -2048], dtype=np.int32)  # 2 frames, 2 sig
+    """Hand-packed 12-bit pairs decode correctly, incl. negative values;
+    -2048 is the WFDB invalid-sample sentinel and maps to NaN (like
+    wfdb.rdrecord, which the reference delegates to at recordutil.py:137)."""
     def pack(a, b):
         a &= 0xFFF
         b &= 0xFFF
@@ -39,7 +40,9 @@ def test_wfdb_format_212(tmp_path):
         "r212 2 500 2\nr212.dat 212 1(0)/mV 12 0 0 0 0 s0\nr212.dat 212 1(0)/mV 12 0 0 0 0 s1\n"
     )
     rec = rdrecord(str(tmp_path / "r212"))
-    np.testing.assert_array_equal(rec.p_signal.reshape(-1), samples.astype(float))
+    got = rec.p_signal.reshape(-1)
+    np.testing.assert_array_equal(got[:3], [100.0, -5.0, 2047.0])
+    assert np.isnan(got[3])
 
 
 def test_multi_dat_record_and_header_comments(tmp_path):

@@ -1,0 +1,167 @@
+"""WFDB reader semantic-parity tests: sentinels, extended formats,
+multi-frame smoothing (closing the gap vs wfdb.rdrecord — the package the
+reference delegates to at recordutil.py:137 — using hand-computed golden
+vectors, since wfdb itself is not installable here)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from scgrhc import native
+from scgrhc.io import wfdb as w
+
+
+def _write_record(tmp_path, name, fmt_tokens, dat_bytes, sig_len, n_sig,
+                  gain=100.0, baseline=0, init_values=None):
+    """Minimal .hea + .dat pair.  fmt_tokens: list of per-signal format
+    tokens (e.g. '16', '16x2')."""
+    rec = tmp_path / name
+    (tmp_path / f"{name}.dat").write_bytes(dat_bytes)
+    lines = [f"{name} {n_sig} 500 {sig_len}"]
+    for j in range(n_sig):
+        iv = init_values[j] if init_values else 0
+        lines.append(
+            f"{name}.dat {fmt_tokens[j]} {gain:g}({baseline})/mV 16 "
+            f"{baseline} {iv} 0 0 sig_{j}"
+        )
+    (tmp_path / f"{name}.hea").write_text("\n".join(lines) + "\n")
+    return str(rec)
+
+
+def test_fmt16_sentinel_maps_to_nan(tmp_path):
+    vals = [100, -200, -32768, 300]
+    dat = b"".join(struct.pack("<h", v) for v in vals)
+    rec = w.rdrecord(_write_record(tmp_path, "s16", ["16"], dat, 4, 1))
+    got = rec.p_signal[:, 0]
+    assert np.isnan(got[2])
+    np.testing.assert_allclose(got[[0, 1, 3]], [1.0, -2.0, 3.0])
+
+
+def test_fmt61_big_endian(tmp_path):
+    vals = [100, -200, 300, -32768]
+    dat = b"".join(struct.pack(">h", v) for v in vals)
+    rec = w.rdrecord(_write_record(tmp_path, "s61", ["61"], dat, 4, 1))
+    got = rec.p_signal[:, 0]
+    np.testing.assert_allclose(got[:3], [1.0, -2.0, 3.0])
+    assert np.isnan(got[3])
+
+
+def test_fmt24_three_byte(tmp_path):
+    vals = [100000, -100000, -8388608, 1]
+    dat = b"".join(struct.pack("<i", v)[:3] for v in vals)
+    rec = w.rdrecord(_write_record(tmp_path, "s24", ["24"], dat, 4, 1))
+    got = rec.p_signal[:, 0]
+    np.testing.assert_allclose(got[[0, 1, 3]], [1000.0, -1000.0, 0.01])
+    assert np.isnan(got[2])
+
+
+def test_fmt160_offset_binary(tmp_path):
+    # stored = value + 32768 (unsigned 16); 0 stored == -32768 == sentinel
+    vals = [100, -200, 0]
+    dat = b"".join(struct.pack("<H", v + 32768) for v in vals) + struct.pack(
+        "<H", 0
+    )
+    rec = w.rdrecord(_write_record(tmp_path, "s160", ["160"], dat, 4, 1))
+    got = rec.p_signal[:, 0]
+    np.testing.assert_allclose(got[:3], [1.0, -2.0, 0.0])
+    assert np.isnan(got[3])
+
+
+def test_fmt8_first_differences(tmp_path):
+    # samples = init_value + cumsum(diffs): 10 +5 -3 +0 +7 → 15,12,12,19
+    diffs = [5, -3, 0, 7]
+    dat = b"".join(struct.pack("b", d) for d in diffs)
+    rec = w.rdrecord(
+        _write_record(tmp_path, "s8", ["8"], dat, 4, 1, init_values=[10])
+    )
+    np.testing.assert_allclose(rec.p_signal[:, 0] * 100.0, [15, 12, 12, 19])
+
+
+def test_fmt212_sentinel(tmp_path):
+    # pack pair (-2048, 5): first=0x800, second=0x005
+    first, second = 0x800, 0x005
+    b0 = first & 0xFF
+    b1 = ((first >> 8) & 0x0F) | (((second >> 8) & 0x0F) << 4)
+    b2 = second & 0xFF
+    rec = w.rdrecord(
+        _write_record(tmp_path, "s212", ["212"], bytes([b0, b1, b2]), 2, 1)
+    )
+    got = rec.p_signal[:, 0]
+    assert np.isnan(got[0])
+    np.testing.assert_allclose(got[1], 0.05)
+
+
+def test_multiframe_smoothing(tmp_path):
+    """fmt 16x2 + 16x1 interleaved: signal 0 has 2 samples/frame (averaged,
+    wfdb smooth_frames=True), signal 1 has 1.  A frame containing the
+    sentinel smooths to NaN."""
+    # frame layout per frame: s0a s0b s1
+    frames = [
+        (10, 20, 7),           # s0 → 15, s1 → 7
+        (30, -32768, 8),       # s0 → NaN (sentinel in frame), s1 → 8
+    ]
+    dat = b"".join(
+        struct.pack("<hhh", *f) for f in frames
+    )
+    rec = w.rdrecord(
+        _write_record(tmp_path, "smf", ["16x2", "16"], dat, 2, 2)
+    )
+    s0, s1 = rec.p_signal[:, 0], rec.p_signal[:, 1]
+    np.testing.assert_allclose(s0[0], 0.15)
+    assert np.isnan(s0[1])
+    np.testing.assert_allclose(s1 * 100.0, [7, 8])
+
+
+def test_unsupported_format_clear_error(tmp_path):
+    rec = _write_record(tmp_path, "s310", ["310"], b"\x00" * 12, 2, 1)
+    with pytest.raises(ValueError, match="Unsupported WFDB format '310'"):
+        w.rdrecord(rec)
+
+
+@pytest.mark.skipif(native.decode_calibrate is None, reason="C ext not built")
+def test_c_and_numpy_paths_agree_with_sentinels(tmp_path, monkeypatch):
+    """Differential: the fused C decoder and the NumPy fallback produce
+    identical p_signal (incl. NaN placement) for every shared format."""
+    rng = np.random.default_rng(0)
+    cases = {
+        "16": lambda v: struct.pack("<h", v),
+        "32": lambda v: struct.pack("<i", v),
+    }
+    sig_len, n_sig = 64, 3
+    for fmt, pack in cases.items():
+        lo, hi = (-32768, 32767) if fmt == "16" else (-(2**31), 2**31 - 1)
+        vals = rng.integers(lo + 1, hi, size=(sig_len, n_sig))
+        # sprinkle sentinels
+        sent = {"16": -32768, "32": -(2**31)}[fmt]
+        vals[5, 0] = sent
+        vals[17, 2] = sent
+        dat = b"".join(pack(int(v)) for v in vals.reshape(-1))
+        rec_path = _write_record(
+            tmp_path, f"d{fmt}", [fmt] * n_sig, dat, sig_len, n_sig
+        )
+        with_c = w.rdrecord(rec_path).p_signal
+        monkeypatch.setattr(native, "decode_calibrate", None)
+        without_c = w.rdrecord(rec_path).p_signal
+        monkeypatch.undo()
+        np.testing.assert_array_equal(np.isnan(with_c), np.isnan(without_c))
+        np.testing.assert_allclose(with_c, without_c, equal_nan=True)
+
+
+def test_nan_segments_are_dropped():
+    """A window touching an invalid (NaN) sample never reaches the dataset
+    (the reference would crash in sklearn's LinearRegression instead)."""
+    from scgrhc.dsp.segment import segment_interval
+
+    t = 750
+    rng = np.random.default_rng(0)
+    scg = rng.random((3 * t, 2))
+    rhc = 20.0 + 5.0 * rng.random((3 * t, 1))  # clean, passes the gate
+    rhc[t + 5, 0] = np.nan  # poison window 1
+    segs = segment_interval(scg, rhc, t, -50.0, "rec")
+    assert [s.start_idx for s in segs] == [0, 2 * t]
+
+    scg2 = scg.copy()
+    scg2[2 * t + 1, 1] = np.nan  # poison window 2 via SCG
+    segs2 = segment_interval(scg2, rhc, t, -50.0, "rec")
+    assert [s.start_idx for s in segs2] == [0]
