@@ -80,4 +80,15 @@ def run(params) -> None:
     start_time = time()
     # log-line parity with the reference stage banner (recordutil.py:229)
     print(timelog(f"Run recordutil for {params.dir_path}", start_time))
-    save_dataloaders(params)
+    from scgrhc.parallel import comm
+
+    if comm.is_primary():  # one writer on pods; all read the shared files
+        try:
+            save_dataloaders(params)
+        finally:
+            comm.barrier("data_end")
+    else:
+        # non-primary: wait for the primary's write, then read the shared
+        # files like any rerun (overwrite-guard semantics stay the
+        # primary's job — recordutil.py:176-181)
+        comm.barrier("data_end")

@@ -178,8 +178,10 @@ class SegmentStore:
             if sharding is None:
                 scg, rhc = jnp.asarray(self.scg), jnp.asarray(self.rhc)
             else:
-                scg = jax.device_put(self.scg, sharding)
-                rhc = jax.device_put(self.rhc, sharding)
+                from scgrhc.parallel.mesh import place_global
+
+                scg = place_global(self.scg, sharding)
+                rhc = place_global(self.rhc, sharding)
             self._device_cache[key] = (scg, rhc)
         return self._device_cache[key]
 

@@ -94,6 +94,10 @@ def get_waveform_comparisons(
 def _write_comparison_csv(comparisons, comp_dir_path, ckpt_name):
     import pandas as pd
 
+    from scgrhc.parallel import comm
+
+    if not comm.is_primary():
+        return  # multi-controller: all processes compute, one writes
     comparisons.sort(key=lambda c: c["pcc_r"], reverse=True)
     checkpoint_str = ckpt_name.split(".")[0]
     comparison_path = os.path.join(comp_dir_path, f"{checkpoint_str}.csv")

@@ -51,6 +51,28 @@ def process_index() -> int:
     return jax.process_index()
 
 
+def is_primary() -> bool:
+    """True on the artifact-writing process.
+
+    Multi-controller discipline: every process runs the same compute
+    (collectives need all participants), but exactly ONE process may write
+    shared-filesystem artifacts — checkpoints, CSVs, record_log, loss
+    plots, checkpoint_best.txt — or N processes race on the same paths.
+    Single-process runs are always primary, so single-host code pays
+    nothing for the guard.
+    """
+    return jax.process_index() == 0
+
+
+def barrier(name: str = "scgrhc") -> None:
+    """Cross-process sync point (e.g. non-primary processes must not read
+    a checkpoint the primary is still writing).  No-op single-process."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 # -- collective helpers (for use inside shard_map over a named mesh) ----------
 
 

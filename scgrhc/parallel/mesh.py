@@ -56,4 +56,22 @@ def shard_batch(mesh: Mesh, *arrays):
 def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params/opt state) across the mesh."""
     s = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+    return jax.tree.map(lambda x: place_global(x, s), tree)
+
+
+def place_global(arr, sharding: NamedSharding):
+    """Place host data under a sharding that may span multiple processes.
+
+    Single-controller this is ``device_put``.  Multi-controller,
+    ``device_put`` cannot address other hosts' devices, so the global
+    array is assembled from each process's local portion
+    (``jax.make_array_from_process_local_data``) — for replicated specs
+    every process contributes the full array (all read the same loader
+    files off the shared filesystem), for sharded specs its local slice.
+    """
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_process_local_data(sharding, arr, arr.shape)

@@ -75,8 +75,14 @@ def run(params) -> None:
     start_time = time()
     print(timelog(f"Run waveform_checkpoint for {params.dir_path}", start_time))
     scores = get_checkpoint_scores(params, start_time)
-    scores_df = pd.DataFrame.from_dict(scores)
-    scores_df.to_csv(os.path.join(params.dir_path, "checkpoint_scores.csv"), index=False)
-    best_score = scores_df.loc[scores_df["pcc_r"].idxmax()]
-    with open(os.path.join(params.dir_path, "checkpoint_best.txt"), "w") as f:
-        f.write(best_score.to_string())
+    from scgrhc.parallel import comm
+
+    if comm.is_primary():  # single-writer discipline on pods
+        scores_df = pd.DataFrame.from_dict(scores)
+        scores_df.to_csv(
+            os.path.join(params.dir_path, "checkpoint_scores.csv"), index=False
+        )
+        best_score = scores_df.loc[scores_df["pcc_r"].idxmax()]
+        with open(os.path.join(params.dir_path, "checkpoint_best.txt"), "w") as f:
+            f.write(best_score.to_string())
+    comm.barrier("select_end")  # pipeline reads checkpoint_best.txt next

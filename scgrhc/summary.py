@@ -104,36 +104,49 @@ def add_chamber_durations(df: dict) -> None:
             df[record_name][chamber] = total
 
 
+# NOTE: every printed line below is a byte-level parity contract with the
+# reference report (reference: summary.py:68-92) — the *strings* are pinned,
+# the code around them is not.
+
+
+def _by_gender(df, var: str):
+    male = df.loc[df["gender"] == "Male", var]
+    female = df.loc[df["gender"] == "Female", var]
+    return male, female
+
+
 def summarize_continuous(df, var: str, gender_stratified: bool) -> None:
     from scipy.stats import ttest_ind
 
     if var not in df.columns:
         print(f"{var}\n  (absent)")
         return
-    print(var)
-    print(f"  Min {df[var].min():.2f}")
-    print(f"  Max {df[var].max():.2f}")
-    print(f"  Avg {df[var].mean():.2f} ± {df[var].std():.2f}")
-    print(f"  Sum {df[var].sum():.2f}")
+    col = df[var]
+    lines = [
+        var,
+        f"  Min {col.min():.2f}",
+        f"  Max {col.max():.2f}",
+        f"  Avg {col.mean():.2f} ± {col.std():.2f}",
+        f"  Sum {col.sum():.2f}",
+    ]
     if not gender_stratified and "gender" in df.columns:
-        group1 = df[df["gender"] == "Male"][var]
-        group2 = df[df["gender"] == "Female"][var]
-        _, p_value = ttest_ind(group1, group2, nan_policy="omit")
-        print(f"  Sig {p_value:.2f}")
+        stat = ttest_ind(*_by_gender(df, var), nan_policy="omit")
+        lines.append(f"  Sig {stat.pvalue:.2f}")
+    print("\n".join(lines))
 
 
 def summarize_boolean(df, var: str) -> None:
     if var not in df.columns:
         print(f"{var}\n  (absent)")
         return
-    print(var)
-    print(f"  Y {df[var].value_counts().get(True)}")
-    print(f"  N {df[var].value_counts().get(False)}")
+    counts = df[var].value_counts()
+    print("\n".join([var, f"  Y {counts.get(True)}", f"  N {counts.get(False)}"]))
 
 
 def show_missing_vals(df) -> None:
+    na_counts = df.isna().sum()
     print("Missing vals:")
-    print(df.isna().sum()[df.isna().sum() > 0])
+    print(na_counts[na_counts > 0])
 
 
 def summarize(df, gender_stratified: bool) -> None:

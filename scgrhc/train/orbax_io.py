@@ -86,6 +86,9 @@ def save(path: str, *, start_time, epoch, g_losses, d_losses, state,
                 f,
             )
 
+    if jax.process_index() != 0:
+        return  # multi-controller: orbax coordinated the commit; only the
+        # primary writes meta.json (single-writer discipline)
     if block:
         _write_meta()
     else:

@@ -20,6 +20,7 @@ import numpy as np
 from scgrhc.core.timelog import timelog
 from scgrhc.core.trace import annotate, trace
 from scgrhc.data.loaders import load_dataloader
+from scgrhc.parallel import comm
 from scgrhc.train import checkpoint as ckpt_io
 from scgrhc.train import orbax_io
 from scgrhc.train.wgan import TrainConfig, init_state, train_step
@@ -119,18 +120,18 @@ def _dp_gather_place(state, store, idx: np.ndarray):
     Returns (state, scg_all, rhc_all, idx, mask)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from scgrhc.parallel.mesh import make_mesh, replicate, replicated
+    from scgrhc.parallel.mesh import make_mesh, place_global, replicate, replicated
 
     mesh = make_mesh()
     axis = mesh.axis_names[0]
     idx, mask_np = _pad_idx_mask(idx, mesh.devices.size)
     mask = (
-        jax.device_put(mask_np, NamedSharding(mesh, P(axis)))
+        place_global(mask_np, NamedSharding(mesh, P(axis)))
         if mask_np is not None
         else None
     )
     scg_all, rhc_all = store.device_arrays(sharding=replicated(mesh))
-    idx = jax.device_put(jnp.asarray(idx), NamedSharding(mesh, P(None, axis)))
+    idx = place_global(idx, NamedSharding(mesh, P(None, axis)))
     return replicate(mesh, state), scg_all, rhc_all, idx, mask
 
 
@@ -202,7 +203,7 @@ def _run_epoch_scan_mode(params, cfg, state, train_loader, epoch_rng, epoch):
         if use_dp:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from scgrhc.parallel.mesh import make_mesh, replicate
+            from scgrhc.parallel.mesh import make_mesh, place_global, replicate
 
             mesh = make_mesh()
             axis = mesh.axis_names[0]
@@ -210,11 +211,11 @@ def _run_epoch_scan_mode(params, cfg, state, train_loader, epoch_rng, epoch):
                 np.arange(len(tail), dtype=np.int32), mesh.devices.size
             )
             scg_t, rhc_t = scg_t[tail_idx], rhc_t[tail_idx]
-            if mask_np is not None:
-                mask_t = jax.device_put(mask_np, NamedSharding(mesh, P(axis)))
             batch_sh = NamedSharding(mesh, P(axis))
-            scg_t = jax.device_put(scg_t, batch_sh)
-            rhc_t = jax.device_put(rhc_t, batch_sh)
+            if mask_np is not None:
+                mask_t = place_global(mask_np, batch_sh)
+            scg_t = place_global(scg_t, batch_sh)
+            rhc_t = place_global(rhc_t, batch_sh)
             if not nb:  # state not yet replicated by the scan path
                 state = replicate(mesh, state)
         with annotate("train_step"):
@@ -260,7 +261,7 @@ def _train_loop(
                 print(f"  D Loss Diff: {d_loss_sum - d_loss_total}")
                 g_loss_total = g_loss_sum
                 d_loss_total = d_loss_sum
-                if plot:
+                if plot and comm.is_primary():
                     _plot_losses(
                         g_losses, d_losses, epoch, total_epochs, i, n_batches,
                         params.dir_path,
@@ -271,12 +272,18 @@ def _train_loop(
         )
         if getattr(params, "checkpoint_backend", "reference") == "orbax":
             # async: the write overlaps the next epoch's compute; flushed
-            # below before run() returns (eval reads right after)
+            # below before run() returns (eval reads right after).
+            # Multi-controller: orbax coordinates its own multi-process
+            # commit, so ALL processes call save (meta.json is guarded to
+            # the primary inside orbax_io).
             orbax_io.save(
                 ckpt_path, start_time=start_time, epoch=epoch,
                 g_losses=g_losses, d_losses=d_losses, state=state, block=False,
             )
-        else:
+        elif comm.is_primary():
+            # single-writer discipline: on a multi-controller pod only
+            # process 0 writes the pickle (every process holds the same
+            # replicated state)
             ckpt_io.save(
                 ckpt_path, start_time=start_time, epoch=epoch,
                 g_losses=g_losses, d_losses=d_losses, state=state, cfg=cfg,
@@ -284,3 +291,4 @@ def _train_loop(
         epoch += 1
 
     orbax_io.wait()
+    comm.barrier("train_end")  # non-primaries must not outrun the last write
