@@ -148,7 +148,10 @@ def run_train(args):
         TrainConfig, init_state, train_epoch_gather, train_step,
     )
 
-    cfg = TrainConfig(compute_dtype=args.dtype, critic_fuse=args.fuse)
+    cfg = TrainConfig(
+        compute_dtype=args.dtype, critic_fuse=args.fuse, remat=args.remat,
+        conv_backend=args.conv_backend,
+    )
     b = args.batch
     state = init_state(jax.random.key(0), IN_CHANNELS, cfg)
     rng = np.random.default_rng(0)
@@ -195,6 +198,7 @@ def run_train(args):
     tflops = (step_flops / step_time / 1e12) if step_flops else None
     _emit("wgan_train_throughput", sps, "segments/s/chip",
           tflops, batch=b, dtype=args.dtype, fuse=args.fuse, loop=args.loop,
+          remat=args.remat, conv_backend=args.conv_backend,
           ms_per_step=round(step_time * 1e3, 2),
           tflops_sustained=round(tflops, 1) if tflops else None,
           note="vs_baseline = TFLOPs sustained (XLA cost_analysis)")
@@ -382,10 +386,19 @@ def run_pallas(args):
 
     per_plain, _ = _readback_time(jax.jit(plain))
 
+    # norm-only head-to-head on the streaming-inference framing path
+    def norm_pallas():
+        return jnp.sum(_frame_norm(scg_cl, T, None, "pallas"))
+
+    per_np, _ = _readback_time(jax.jit(norm_pallas))
+
     n_windows = L // T
     _emit("pallas_gate_normalize", n_windows / per_fused, "windows/s/chip",
           per_plain / per_fused,
-          note="vs_baseline = speedup over plain jnp framing (no gate)")
+          stream_norm_pallas_speedup=round(per_plain / per_np, 3),
+          note="vs_baseline = fused gate+norm speedup over plain jnp "
+               "framing; stream_norm_pallas_speedup = norm-only kernel vs "
+               "jnp on the same framing")
 
 
 def main(argv=None):
@@ -397,7 +410,9 @@ def main(argv=None):
                              "stream", "data", "pallas"])
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--batch", type=int, default=64)
-    ap.add_argument("--fuse", default="2b", choices=["off", "2b", "3b"])
+    ap.add_argument("--fuse", default="off", choices=["off", "2b", "3b"])
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--conv-backend", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--loop", default="epoch", choices=["step", "epoch"])
     ap.add_argument("--nb", type=int, default=8)
     ap.add_argument("--ckpts", type=int, default=32)

@@ -82,7 +82,17 @@ class Params:
         self.min_RHC = d["min_RHC"]
         self.use_global_min_max = d["use_global_min_max"]
         # --- scgrhc extensions (optional, defaulted) ---
-        self.seed = d.get("seed", 0)
+        # "seed": null reproduces the reference's unseeded behavior
+        # (recordutil.py:191-192): a fresh random seed is drawn per run, so
+        # splits/init/shuffles differ run to run like the reference's —
+        # while staying self-consistent within the run.
+        seed = d.get("seed", 0)
+        self.unseeded = seed is None
+        if self.unseeded:
+            import random as _random
+
+            seed = _random.SystemRandom().randrange(2**31)
+        self.seed = seed
         self.dtype = d.get("dtype", "float32")
         self.eval_batch = d.get("eval_batch", 1024)
         # "reference" = the pickle dict layout of waveform_train.py:401-411;
@@ -101,9 +111,16 @@ class Params:
         # Training compute dtype ("float32" | "bfloat16"); bf16 keeps f32
         # master weights/optimizer state (scgrhc.train.wgan TrainConfig)
         self.train_dtype = d.get("train_dtype", "float32")
-        # Critic forward batching per critic step ("2b" | "3b" | "off");
-        # per-sample math is identical across modes (scgrhc.train.wgan)
-        self.critic_fuse = d.get("critic_fuse", "2b")
+        # Critic forward batching per critic step ("off" | "2b" | "3b");
+        # per-sample math is identical across modes; "off" measured fastest
+        # on-chip (scgrhc.train.wgan, BENCH.md)
+        self.critic_fuse = d.get("critic_fuse", "off")
+        # Rematerialize conv blocks in the backward (recompute-for-bandwidth
+        # trade; the step is HBM-bound — scgrhc.train.wgan, BENCH.md)
+        self.remat = d.get("remat", False)
+        # Generator conv-block backend: "xla" | "pallas" (fused
+        # conv+IN+relu kernel — scgrhc.ops.pallas.conv_block, BENCH.md)
+        self.conv_backend = d.get("conv_backend", "xla")
         # How many checkpoints to score per vmapped eval program in
         # 'test all' (weights stacked on a leading axis; 1 = serial)
         self.eval_stack = d.get("eval_stack", 8)

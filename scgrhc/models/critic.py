@@ -24,11 +24,20 @@ def init(rng, in_channels: int, condition_channels: int = 1, ndf: int = NDF):
     }
 
 
-def apply(params, x):
-    """x: (N, C_scg + 1, T) → (N, 1, T) patch scores."""
+def _layer(p, h):
+    return relu(instance_norm(conv1d(h, p["w"], p["b"], padding=1)))
+
+
+def apply(params, x, remat: bool = False):
+    """x: (N, C_scg + 1, T) → (N, 1, T) patch scores.
+
+    ``remat`` recomputes each conv+norm layer in the backward pass (see
+    scgrhc.models.generator.apply — the WGAN-GP step is HBM-bound, and the
+    critic backward runs under a second-order grad where saved activations
+    are pure bandwidth)."""
+    layer = jax.checkpoint(_layer) if remat else _layer
     h = relu(conv1d(x, params["conv0"]["w"], params["conv0"]["b"], padding=1))
     for i in (1, 2, 3):
-        p = params[f"conv{i}"]
-        h = relu(instance_norm(conv1d(h, p["w"], p["b"], padding=1)))
+        h = layer(params[f"conv{i}"], h)
     p = params["conv4"]
     return conv1d(h, p["w"], p["b"], padding=1)

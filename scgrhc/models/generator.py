@@ -96,16 +96,32 @@ def _pad_size(a, b):
     return a
 
 
-def apply(params, x, rng=None, train: bool = False, dtype=None):
+def apply(params, x, rng=None, train: bool = False, dtype=None,
+          remat: bool = False, conv_backend: str = "xla"):
     """Forward pass (reference: waveform_train.py:175-195).
 
     x: (N, C, T) SCG → (N, 1, T) predicted (normalized) RHC.
     ``rng`` is required when ``train`` (dropout); ignored otherwise.
     ``dtype`` defaults to the params' own dtype (bf16 params ⇒ bf16
     compute), so callers pick precision by casting the weight pytree.
+    ``remat`` recomputes each double-conv block in the backward pass
+    instead of keeping its activations (measured: a net LOSS under XLA's
+    scheduling — kept as an opt-in knob; BENCH.md).
+    ``conv_backend="pallas"`` runs the double-conv blocks through the
+    fused conv+IN+relu kernel (scgrhc.ops.pallas.conv_block): one HBM
+    read+write per layer instead of XLA's ~4 passes, with a
+    recompute-based fused backward.  First-order only — the generator is
+    never under a second-order gradient.  Takes precedence over
+    ``remat`` (the fused backward already rematerializes in VMEM).
     """
     if dtype is None:
         dtype = jax.tree.leaves(params)[0].dtype
+    if conv_backend == "pallas":
+        from scgrhc.ops.pallas.conv_block import conv_block_fused as block
+    elif remat:
+        block = jax.checkpoint(_conv_block_apply)
+    else:
+        block = _conv_block_apply
     if train:
         drops = jax.random.split(rng, 6)
     else:
@@ -113,25 +129,25 @@ def apply(params, x, rng=None, train: bool = False, dtype=None):
     drop = partial(dropout, rate=DROPOUT_RATE, train=train)
     x = x.astype(dtype)
 
-    e1 = _conv_block_apply(params["enc1"], x)
-    e2 = _conv_block_apply(params["enc2"], drop(max_pool1d_k3s1(e1), rng=drops[0]))
-    e3 = _conv_block_apply(params["enc3"], drop(max_pool1d_k3s1(e2), rng=drops[1]))
-    b = _conv_block_apply(params["bottleneck"], drop(max_pool1d_k3s1(e3), rng=drops[2]))
+    e1 = block(params["enc1"], x)
+    e2 = block(params["enc2"], drop(max_pool1d_k3s1(e1), rng=drops[0]))
+    e3 = block(params["enc3"], drop(max_pool1d_k3s1(e2), rng=drops[1]))
+    b = block(params["bottleneck"], drop(max_pool1d_k3s1(e3), rng=drops[2]))
 
     d3 = _pad_size(drop(conv_transpose1d(b, params["up3"]["w"], params["up3"]["b"]),
                         rng=drops[3]), e3)
     a3 = attention.apply(params["att3"], d3, e3)
-    d3 = _conv_block_apply(params["dec3"], jnp.concatenate((d3, a3), axis=1))
+    d3 = block(params["dec3"], jnp.concatenate((d3, a3), axis=1))
 
     d2 = _pad_size(drop(conv_transpose1d(d3, params["up2"]["w"], params["up2"]["b"]),
                         rng=drops[4]), e2)
     a2 = attention.apply(params["att2"], d2, e2)
-    d2 = _conv_block_apply(params["dec2"], jnp.concatenate((d2, a2), axis=1))
+    d2 = block(params["dec2"], jnp.concatenate((d2, a2), axis=1))
 
     d1 = _pad_size(drop(conv_transpose1d(d2, params["up1"]["w"], params["up1"]["b"]),
                         rng=drops[5]), e1)
     a1 = attention.apply(params["att1"], d1, e1)
-    d1 = _conv_block_apply(params["dec1"], jnp.concatenate((d1, a1), axis=1))
+    d1 = block(params["dec1"], jnp.concatenate((d1, a1), axis=1))
 
     f = conv1d(d1, params["final"]["w"], params["final"]["b"])
     return _pad_size(f, x)

@@ -82,8 +82,13 @@ def instance_norm(x, eps: float = IN_EPS):
     in bf16 loses ~2 decimal digits, which the normalization would amplify.
     """
     x32 = x.astype(jnp.float32)
+    # One-pass stats: E[x] and E[x²] reduce in the same XLA fusion (one
+    # HBM read), where E[(x-mean)²] would chain a second read behind the
+    # mean.  Biased variance either way; f32 keeps the cancellation in
+    # E[x²]−mean² far below IN_EPS for waveform-scale data.
     mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)  # biased
+    msq = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    var = jnp.maximum(msq - jnp.square(mean), 0.0)
     return ((x32 - mean) * lax.rsqrt(var + eps)).astype(x.dtype)
 
 

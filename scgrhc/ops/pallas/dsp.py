@@ -154,6 +154,45 @@ def gate_and_normalize(
     )
 
 
+def _norm_kernel(w_ref, out_ref):
+    w = w_ref[:]  # (W, C*T) — joint (C, T) min/max needs only 2-D
+    lo = jnp.min(w, axis=-1, keepdims=True)
+    hi = jnp.max(w, axis=-1, keepdims=True)
+    out_ref[:] = (w - lo) / (hi - lo + NORM_EPS)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def normalize_windows(w, interpret: bool | None = None):
+    """Fused per-window joint min-max normalization (no gate).
+
+    w (N, C, T) float32 → (N, C, T): one HBM read + one write per window,
+    vs the jnp path's separate reduce + broadcast-elementwise passes.
+    Inference-side counterpart of :func:`gate_and_normalize`
+    (reference norm: recordutil.py:41-47; min/max joint over (C, T)).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, c, t = w.shape
+    W = WINDOWS_PER_BLOCK
+    n_pad = -(-n // W) * W
+    flat = w.reshape(n, c * t)
+    if n_pad != n:
+        flat = jnp.pad(flat, ((0, n_pad - n), (0, 0)))
+    out = pl.pallas_call(
+        _norm_kernel,
+        grid=(n_pad // W,),
+        in_specs=[
+            pl.BlockSpec((W, c * t), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (W, c * t), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, c * t), jnp.float32),
+        interpret=interpret,
+    )(flat.astype(jnp.float32))
+    return out[:n].reshape(n, c, t)
+
+
 def segment_record_on_device(
     scg_signal, rhc_signal, segment_samples: int, min_rhc: float, **kw
 ):

@@ -42,11 +42,20 @@ def frame_record(x, t: int, hop: int | None = None):
     return x[:, idx].transpose(1, 0, 2)  # (N, C, t)
 
 
-@partial(jax.jit, static_argnames=("t", "hop"))
-def _frame_norm(x, t: int, hop: int | None):
+@partial(jax.jit, static_argnames=("t", "hop", "backend"))
+def _frame_norm(x, t: int, hop: int | None, backend: str = "jnp"):
     """Frame + per-window joint min-max normalization
-    (reference: recordutil.py:41-47 — min/max over the whole (T, C) window)."""
+    (reference: recordutil.py:41-47 — min/max over the whole (T, C) window).
+
+    ``backend="pallas"`` runs the fused one-pass normalize kernel
+    (:func:`scgrhc.ops.pallas.dsp.normalize_windows`) on the framed
+    windows instead of the reduce + broadcast jnp pair; numerics are
+    identical (same f32 min/max/divide)."""
     w = frame_record(x, t, hop)
+    if backend == "pallas":
+        from scgrhc.ops.pallas.dsp import normalize_windows
+
+        return normalize_windows(w.astype(jnp.float32))
     lo = jnp.min(w, axis=(1, 2), keepdims=True)
     hi = jnp.max(w, axis=(1, 2), keepdims=True)
     return ((w - lo) / (hi - lo + NORM_EPS)).astype(jnp.float32)
@@ -60,6 +69,7 @@ def stream_infer(
     batch: int = 512,
     overlap: int = 0,
     rhc_minmax=None,
+    norm_backend: str = "jnp",
 ):
     """Predict the RHC waveform for one full record.
 
@@ -75,7 +85,7 @@ def stream_infer(
     t = segment_samples
     hop = t - overlap if overlap else t
     x = jnp.asarray(record_scg, dtype=jnp.float32)
-    w = _frame_norm(x, t, hop if overlap else None)
+    w = _frame_norm(x, t, hop if overlap else None, norm_backend)
     n = w.shape[0]
     if n == 0:
         return np.zeros(0, dtype=np.float32)

@@ -56,16 +56,28 @@ class TrainConfig(NamedTuple):
     # accumulate f32 and norm statistics are f32 (scgrhc.ops.nn); the GP
     # gradient norm is reduced in f32.
     compute_dtype: str = "float32"
+    # Rematerialize conv blocks in the backward pass (activations
+    # recomputed instead of stored).  Measured a net LOSS at every
+    # batch/dtype tried (XLA's remat scheduling re-adds passes; BENCH.md)
+    # — kept as an opt-in knob.
+    remat: bool = False
+    # Generator conv-block backend: "xla" | "pallas" (fused conv+IN+relu
+    # kernel, scgrhc.ops.pallas.conv_block — first-order custom_vjp, so
+    # generator-only; the critic keeps XLA convs for the second-order GP).
+    conv_backend: str = "xla"
     # How many critic forwards to batch into one program per critic step.
+    # "off": the reference's 3 separate forwards — measured FASTEST on-chip
+    #        (BENCH.md: the epoch scan is one XLA program, so there are no
+    #        dispatch launches to amortize and XLA already fuses freely).
     # "2b": score [scg‖pred] and [scg‖real] as one 2B-batch call, GP on its
-    #       own B-batch grad pass — same total FLOPs as "off", fewer
-    #       launches (the on-chip default; see BENCH.md).
-    # "3b": everything incl. the GP interpolant in one 3B call — fewest
-    #       launches but the GP input-grad backward then runs over 3B.
-    # "off": the reference's 3 separate forwards.
+    #       own B-batch grad pass — same FLOPs, ~5% slower in f32, ~1%
+    #       faster in bf16.
+    # "3b": everything incl. the GP interpolant in one 3B call — the GP
+    #       input-grad backward then runs over 3B: ~37% slower.  Kept as a
+    #       measured negative result.
     # All three are per-sample identical math (convs/InstanceNorm never
     # cross the batch dim), so loss histories match across modes.
-    critic_fuse: str = "2b"
+    critic_fuse: str = "off"
 
     @classmethod
     def from_params(cls, params) -> "TrainConfig":
@@ -78,7 +90,9 @@ class TrainConfig(NamedTuple):
             beta2=float(params.beta2),
             fix_g_adversarial=bool(getattr(params, "fix_g_adversarial", False)),
             compute_dtype=str(getattr(params, "train_dtype", "float32")),
-            critic_fuse=str(getattr(params, "critic_fuse", "2b")),
+            critic_fuse=str(getattr(params, "critic_fuse", "off")),
+            remat=bool(getattr(params, "remat", False)),
+            conv_backend=str(getattr(params, "conv_backend", "xla")),
         )
 
 
@@ -124,7 +138,8 @@ def _gp_norms(grads):
     return jnp.sqrt(jnp.sum(jnp.square(g32), axis=1) + 1e-12)
 
 
-def gradient_penalty_from_eps(d_params, scg, rhc, pred_rhc, eps, mask=None):
+def gradient_penalty_from_eps(d_params, scg, rhc, pred_rhc, eps, mask=None,
+                              remat: bool = False):
     """WGAN-GP (reference: waveform_train.py:249-286): per-sample uniform
     interpolation between real and predicted RHC, ∥∇_x D∥₂ penalized to 1.
     ``eps`` (B, 1, 1) is passed in so parity tests can pin it."""
@@ -132,13 +147,16 @@ def gradient_penalty_from_eps(d_params, scg, rhc, pred_rhc, eps, mask=None):
 
     def score_sum(z):
         # grad_outputs=ones ≡ grad of the sum of all patch scores
-        return jnp.sum(critic.apply(d_params, jnp.concatenate((scg, z), axis=1)))
+        return jnp.sum(
+            critic.apply(d_params, jnp.concatenate((scg, z), axis=1), remat)
+        )
 
     grads = jax.grad(score_sum)(interp)
     return _masked_mean(jnp.square(_gp_norms(grads) - 1.0), mask)
 
 
-def _critic_terms(d_params, scg, rhc, pred_rhc, eps, fuse: str, mask=None):
+def _critic_terms(d_params, scg, rhc, pred_rhc, eps, fuse: str, mask=None,
+                  remat: bool = False):
     """(E[D(pred)], E[D(real)], GP) with the chosen forward batching.
 
     Convs and InstanceNorm never mix samples, so all three modes compute
@@ -150,7 +168,7 @@ def _critic_terms(d_params, scg, rhc, pred_rhc, eps, fuse: str, mask=None):
 
         def obj(z):
             x = jnp.concatenate((pred_rhc, rhc, z), axis=0)
-            v = critic.apply(d_params, jnp.concatenate((scg3, x), axis=1))
+            v = critic.apply(d_params, jnp.concatenate((scg3, x), axis=1), remat)
             vp, vr, vi = jnp.split(v, 3, axis=0)
             return jnp.sum(vi), (_masked_mean(vp, mask), _masked_mean(vr, mask))
 
@@ -168,15 +186,20 @@ def _critic_terms(d_params, scg, rhc, pred_rhc, eps, fuse: str, mask=None):
                 ),
                 axis=0,
             ),
+            remat,
         )
         vp, vr = jnp.split(v, 2, axis=0)
         pred_mean, real_mean = _masked_mean(vp, mask), _masked_mean(vr, mask)
-        gp = gradient_penalty_from_eps(d_params, scg, rhc, pred_rhc, eps, mask)
+        gp = gradient_penalty_from_eps(
+            d_params, scg, rhc, pred_rhc, eps, mask, remat
+        )
     else:  # "off": the reference's three separate forwards
-        vp = critic.apply(d_params, jnp.concatenate((scg, pred_rhc), axis=1))
-        vr = critic.apply(d_params, jnp.concatenate((scg, rhc), axis=1))
+        vp = critic.apply(d_params, jnp.concatenate((scg, pred_rhc), axis=1), remat)
+        vr = critic.apply(d_params, jnp.concatenate((scg, rhc), axis=1), remat)
         pred_mean, real_mean = _masked_mean(vp, mask), _masked_mean(vr, mask)
-        gp = gradient_penalty_from_eps(d_params, scg, rhc, pred_rhc, eps, mask)
+        gp = gradient_penalty_from_eps(
+            d_params, scg, rhc, pred_rhc, eps, mask, remat
+        )
     return pred_mean, real_mean, gp
 
 
@@ -188,13 +211,16 @@ def critic_loss(
         # master weights stay f32 outside; grads return f32 via the cast
         d_params, g_params = _cast_tree((d_params, g_params), dt)
         scg, rhc = scg.astype(dt), rhc.astype(dt)
-    pred_rhc = generator.apply(g_params, scg, rng=drop_rng, train=True)
+    pred_rhc = generator.apply(
+        g_params, scg, rng=drop_rng, train=True, remat=cfg.remat,
+        conv_backend=cfg.conv_backend,
+    )
     # eps drawn in f32 so the stream is identical across compute dtypes
     eps = jax.random.uniform(
         eps_rng, (rhc.shape[0], 1, 1), dtype=jnp.float32
     ).astype(rhc.dtype)
     pred_mean, real_mean, gp = _critic_terms(
-        d_params, scg, rhc, pred_rhc, eps, cfg.critic_fuse, mask
+        d_params, scg, rhc, pred_rhc, eps, cfg.critic_fuse, mask, cfg.remat
     )
     loss = -real_mean + pred_mean + cfg.lambda_gp * gp
     return loss.astype(jnp.float32)
@@ -207,7 +233,10 @@ def generator_loss(
     if dt != jnp.dtype(jnp.float32):
         d_params, g_params = _cast_tree((d_params, g_params), dt)
         scg, rhc = scg.astype(dt), rhc.astype(dt)
-    pred_rhc = generator.apply(g_params, scg, rng=drop_rng, train=True)
+    pred_rhc = generator.apply(
+        g_params, scg, rng=drop_rng, train=True, remat=cfg.remat,
+        conv_backend=cfg.conv_backend,
+    )
     # Reference quirk (default): adversarial term scores the REAL rhc
     # (waveform_train.py:376) — constant w.r.t. g_params.  With
     # fix_g_adversarial it scores the prediction (true conditional WGAN).

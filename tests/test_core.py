@@ -105,3 +105,26 @@ def test_clear_and_clear_comparisons_valid(tmp_path, monkeypatch, capsys):
     monkeypatch.chdir(tmp_path)
     paths.clear_comparisons_valid()
     assert os.listdir(exp / "comparisons" / "valid") == []
+
+
+def test_seed_null_unseeded_escape_hatch(tmp_path):
+    """"seed": null draws a fresh random seed per load (reference parity
+    with the unseeded sklearn split, recordutil.py:191-192)."""
+    import json
+
+    from scgrhc.core.params import Params
+
+    cfg = json.load(open("/root/reference/waveform_06/params.json"))
+    cfg["dir_path"] = str(tmp_path)
+    cfg["seed"] = None
+    p = tmp_path / "params.json"
+    p.write_text(json.dumps(cfg))
+    a, b = Params(str(p)), Params(str(p))
+    assert a.unseeded and b.unseeded
+    assert isinstance(a.seed, int)
+    assert a.seed != b.seed  # 2^-31 collision odds
+
+    cfg["seed"] = 7
+    p.write_text(json.dumps(cfg))
+    c = Params(str(p))
+    assert not c.unseeded and c.seed == 7

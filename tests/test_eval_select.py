@@ -99,7 +99,9 @@ def test_predict_split_chunking_invariant(g_setup):
     r1, p1, s1 = predict_split(state.g_params, store, batch=6)
     r2, p2, s2 = predict_split(state.g_params, store, batch=4)
     np.testing.assert_allclose(r1, r2, atol=1e-5)
-    np.testing.assert_allclose(p1, p2, rtol=1e-5, atol=1e-5)
+    # atol covers XLA reduction-order jitter between batch shapes on the
+    # denormalized (≈50-unit-range) pressure scale: ~2e-6 relative
+    np.testing.assert_allclose(p1, p2, rtol=1e-5, atol=3e-4)
     np.testing.assert_allclose(s1["pcc_r"], s2["pcc_r"], rtol=1e-5, atol=1e-6)
 
 

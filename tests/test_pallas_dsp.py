@@ -108,3 +108,23 @@ def test_segment_record_on_device():
     assert keep.shape == (5,)
     np.testing.assert_array_equal(starts, np.arange(5) * T)
     assert np.asarray(keep).all()
+
+def test_normalize_windows_matches_jnp_frame_norm():
+    """Norm-only streaming kernel == the jnp _frame_norm path exactly
+    (same f32 min/max/divide), incl. a non-block-multiple window count."""
+    import jax.numpy as jnp
+
+    from scgrhc.ops.pallas.dsp import normalize_windows
+    from scgrhc.parallel.stream import _frame_norm
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((3, 11 * T)).astype(np.float32)  # 11 windows
+    want = np.asarray(_frame_norm(jnp.asarray(x), T, None))
+    got = np.asarray(_frame_norm(jnp.asarray(x), T, None, "pallas"))
+    assert got.shape == want.shape == (11, 3, T)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # direct entry point too
+    w = x.reshape(3, 11, T).transpose(1, 0, 2)
+    np.testing.assert_allclose(
+        np.asarray(normalize_windows(jnp.asarray(w))), want, atol=1e-6
+    )

@@ -410,3 +410,124 @@ def test_train_stage_and_resume(tmp_path, monkeypatch):
     assert len(last["g_losses"]) > len(
         ckpt_io.load(os.path.join(params.checkpoint_dir_path, "001.checkpoint"))["g_losses"]
     )
+
+
+@pytest.mark.slow
+def test_step_and_epoch_modes_share_rng_stream(tiny_setup):
+    """train_mode 'step' and 'epoch' derive IDENTICAL per-batch PRNG keys
+    (threefry split prefix property), so both modes produce the same loss
+    histories — incl. the remainder batch (round-1 advisor finding)."""
+    from scgrhc.data.loaders import SegmentLoader
+    from scgrhc.data.store import SegmentStore
+    from scgrhc.train.run import _run_epoch_scan_mode, _run_epoch_step_mode
+
+    cfg, state, _, _ = tiny_setup
+    cfg = cfg._replace(alpha=1e-6, n_critic=1)
+    rng = np.random.default_rng(3)
+    N = 5  # batch 2 -> 2 full batches + 1 tail batch
+    store = SegmentStore(
+        rng.random((N, 1, T)).astype(np.float32),
+        rng.random((N, 1, T)).astype(np.float32),
+        [f"r{i}" for i in range(N)], np.zeros(N, np.int64),
+        np.zeros(N, np.int64), np.zeros((N, 2)), np.zeros((N, 2)),
+        segment_samples=T,
+    )
+    loader = SegmentLoader(store, 2, shuffle=True, seed=11)
+    epoch_rng = jax.random.key(42)
+
+    step_out = list(
+        _run_epoch_step_mode(None, cfg, _clone(state), loader, epoch_rng, 0)
+    )
+    scan_out = _run_epoch_scan_mode(None, cfg, _clone(state), loader, epoch_rng, 0)
+
+    assert len(step_out) == len(scan_out) == 3
+    for (s_state, si, sd, sg), (e_state, ei, ed, eg) in zip(step_out, scan_out):
+        assert si == ei
+        np.testing.assert_allclose(sd, ed, rtol=2e-3)
+        np.testing.assert_allclose(sg, eg, rtol=2e-3)
+
+
+@pytest.mark.slow
+def test_bf16_training_trajectory_tracks_f32(tiny_setup):
+    """bf16 compute with f32 master weights (train_dtype='bfloat16') must
+    track the f32 loss trajectory over multiple epochs — the gate for
+    shipping bf16 training as an opt-in (VERDICT round-1 item 1b)."""
+    from scgrhc.train.wgan import train_epoch_gather
+
+    t = 96
+    cfg32 = TrainConfig(n_critic=1, alpha=1e-4)
+    cfg16 = cfg32._replace(compute_dtype="bfloat16")
+    rng = np.random.default_rng(5)
+    N, bs, nb = 8, 4, 2
+    scg_all = jnp.asarray(rng.random((N, 1, t)), jnp.float32)
+    # learnable signal: rhc is a smoothed copy of scg
+    rhc_np = rng.random((N, 1, t)).astype(np.float32)
+    rhc_all = jnp.asarray(0.5 * rhc_np + 0.5 * np.asarray(scg_all))
+
+    def run(cfg, epochs=8):
+        state = init_state(jax.random.key(0), 1, cfg)
+        hist = []
+        for ep in range(epochs):
+            order = jnp.asarray(
+                np.random.default_rng(ep).permutation(N)[: nb * bs]
+                .reshape(nb, bs).astype(np.int32))
+            state, d_h, g_h = train_epoch_gather(
+                state, scg_all, rhc_all, order, jax.random.key(100 + ep), cfg)
+            hist.extend(np.asarray(g_h).tolist())
+        return np.asarray(hist)
+
+    g32 = run(cfg32)
+    g16 = run(cfg16)
+    assert np.isfinite(g16).all()
+    # same-scale, same-direction trajectories: pointwise within a few
+    # percent of the f32 loss magnitude (G loss is lambda_aux*MSE-dominated)
+    np.testing.assert_allclose(g16, g32, rtol=0.05)
+    # and both actually learn (loss decreases over the run)
+    assert g32[-1] < g32[0] and g16[-1] < g16[0]
+
+
+def test_remat_step_matches_plain(tiny_setup):
+    """remat=True (recompute-for-bandwidth) changes scheduling only:
+    same keys -> same losses/params to f32 reassociation tolerance."""
+    cfg, state, scg, rhc = tiny_setup
+    cfg = cfg._replace(n_critic=1)
+    k = jax.random.key(9)
+    s1, d1, g1 = train_step(_clone(state), scg, rhc, k, cfg)
+    s2, d2, g2 = train_step(_clone(state), scg, rhc, k, cfg._replace(remat=True))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-4)
+    np.testing.assert_allclose(float(g1), float(g2), rtol=1e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4
+        ),
+        s1.g_params, s2.g_params,
+    )
+
+
+def test_pallas_conv_backend_step_matches_xla(tiny_setup):
+    """conv_backend='pallas' (fused generator conv blocks) is a pure
+    scheduling change: same keys -> same losses/params within f32
+    reassociation tolerance."""
+    cfg, state, scg, rhc = tiny_setup
+    cfg = cfg._replace(n_critic=1)
+    k = jax.random.key(12)
+    s1, d1, g1 = train_step(_clone(state), scg, rhc, k, cfg)
+    s2, d2, g2 = train_step(
+        _clone(state), scg, rhc, k, cfg._replace(conv_backend="pallas")
+    )
+    # The GP term squares ~750-sample gradient norms of an untrained
+    # critic, amplifying conv-reassociation jitter; ~1e-3 relative is the
+    # expected scale for a scheduling-equivalent program.
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=5e-3)
+    np.testing.assert_allclose(float(g1), float(g2), rtol=2e-3)
+    # A first Adam step from zero state is ~alpha*sign(grad) per element,
+    # so components with near-zero gradients (IN makes bias grads exactly
+    # zero analytically) land at +/-alpha on roundoff alone; 3*alpha
+    # bounds that.  Tight elementwise grad parity is covered by
+    # tests/test_conv_block_kernel.py.
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3 * cfg.alpha
+        ),
+        s1.g_params, s2.g_params,
+    )
