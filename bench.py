@@ -270,6 +270,13 @@ def run_eval(args):
         generator.init(jax.random.key(i), IN_CHANNELS) for i in range(args.ckpts)
     ]
 
+    # warm/compile outside the timed region (chunk shapes are identical
+    # for every group thanks to pad-to-static)
+    predict_split_multi(
+        params_list[: args.stack], store, batch=256, stack=args.stack,
+        dtype=args.dtype,
+    )
+
     t0 = time.perf_counter()
     out = predict_split_multi(
         params_list, store, batch=256, stack=args.stack, dtype=args.dtype

@@ -70,8 +70,12 @@ def predict_split(
     n = len(store)
     mm = jnp.asarray(store.minmax_rhc)
     batch = max(1, min(batch, n))
-    if sharding is not None and batch % sharding.mesh.devices.size != 0:
-        sharding = None  # shrunken chunk no longer divides the mesh
+    if sharding is not None:
+        # round the static chunk up to the mesh size — the pad-to-static
+        # rows below make any batch shard cleanly (mirrors train's
+        # pad+mask DP), so eval never silently drops to one chip
+        ndev = sharding.mesh.devices.size
+        batch = -(-batch // ndev) * ndev
     if jnp.dtype(dtype) != jnp.float32:
         g_params = generator.cast_params(g_params, jnp.dtype(dtype))
 
@@ -132,8 +136,10 @@ def predict_split_multi(
     scg_d, rhc_d = store.device_arrays()
     mm = jnp.asarray(store.minmax_rhc)
     batch = max(1, min(batch, n))
-    if sharding is not None and batch % sharding.mesh.devices.size != 0:
-        sharding = None
+    if sharding is not None:
+        # round up to the mesh size; pad-to-static rows shard cleanly
+        ndev = sharding.mesh.devices.size
+        batch = -(-batch // ndev) * ndev
     if jnp.dtype(dtype) != jnp.float32:
         params_list = [
             generator.cast_params(p, jnp.dtype(dtype)) for p in params_list

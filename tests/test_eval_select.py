@@ -132,6 +132,11 @@ def test_predict_split_sharded_matches(g_setup):
     # GSPMD partitioning reorders conv reductions: ~1e-4 f32 jitter
     np.testing.assert_allclose(p1, p2, atol=5e-4)
     np.testing.assert_allclose(s1["pcc_r"], s2["pcc_r"], atol=1e-3)
+    # non-divisible batch: rounded up to the mesh (pad rows shard), NOT
+    # silently dropped to one chip
+    r3, p3, s3 = predict_split(state.g_params, store, batch=7, sharding=sh)
+    np.testing.assert_allclose(p1, p3, atol=5e-4)
+    np.testing.assert_allclose(s1["pcc_r"], s3["pcc_r"], atol=1e-3)
 
 
 def test_predict_split_denorm(g_setup):
