@@ -19,6 +19,7 @@ def main(argv: list[str] | None = None) -> int:
             "       scgrhc select <dir_name>         score/select checkpoints\n"
             "       scgrhc summary                   cohort statistics report\n"
             "       scgrhc predict <dir> <record> [ckpt|best|last] [--overlap S]\n"
+            "       scgrhc serve <dir> [ckpt|best|last] [--calibrate] [--warm N]\n"
             "                                        whole-record RHC synthesis\n"
             "       scgrhc sweep [root] [--jobs N] [--epochs E] [--seed S]\n"
             "                                        generate+run waveform_06..37\n"

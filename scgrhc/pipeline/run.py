@@ -158,6 +158,19 @@ def dispatch(argv: list[str]) -> int:
             calibrate="--calibrate" in rest,
         )
         return 0
+    if cmd == "serve":
+        # scgrhc serve <dir> [ckpt|best|last] [--calibrate] [--warm N]
+        from scgrhc.pipeline import serve
+
+        rest = argv[2:]
+        which = rest[0] if rest and not rest[0].startswith("--") else "best"
+        warm = int(rest[rest.index("--warm") + 1]) if "--warm" in rest else 0
+        params = Params(os.path.join(argv[1], "params.json"))
+        serve.run(
+            params, checkpoint=which, calibrate="--calibrate" in rest,
+            warm=warm,
+        )
+        return 0
     if cmd in ("data", "train", "test", "select"):
         dir_name = argv[1]
         params = Params(os.path.join(dir_name, "params.json"))

@@ -1,0 +1,163 @@
+"""Persistent SCG→RHC inference daemon (new capability, beyond the
+reference).
+
+The reference has no serving story at all — every `waveform_test.py`
+invocation re-imports torch, reloads the checkpoint, and re-walks the
+dataset (reference: waveform_test.py:119-154).  For production use the
+expensive parts — checkpoint load, XLA compilation of the streaming
+window program — should be paid once per process, not once per record.
+
+``scgrhc serve <dir> [ckpt|best|last]`` starts a daemon that loads the
+generator once, optionally pre-compiles the streaming program, then
+answers newline-delimited JSON requests on stdin with one JSON response
+line on stdout per request:
+
+    {"record": "PATIENT01"}                          → predict + save .npy
+    {"record": "...", "overlap_s": 0.5}              → overlap-and-blend
+    {"record": "...", "continuous": true}            → seam-free mode
+    {"record": "...", "save": false}                 → waveform inline
+    {"cmd": "ping"}                                  → liveness check
+    {"cmd": "quit"}                                  → clean shutdown
+
+Responses carry per-request wall-clock latency so a load balancer can
+see compile hits vs steady state.  stdio keeps the surface dependency-
+free and composable (socat/ssh/inetd make it a network service); errors
+are per-request (one bad record does not kill the daemon).
+
+The first request at a new record-length bucket compiles; subsequent
+requests of ≥``batch`` windows (default 512 → records ≥12.8 min) all
+share one program.  ``--warm N`` pre-compiles the full-batch program at
+startup so the first real request is already fast.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from time import perf_counter, time
+
+import numpy as np
+
+from scgrhc.core.timelog import timelog
+from scgrhc.io.catalog import SAMPLE_FREQ, get_channels, read_record
+from scgrhc.parallel.stream import stream_infer
+from scgrhc.pipeline.predict import (
+    _predict_continuous,
+    cohort_rhc_minmax,
+    load_generator_params,
+    resolve_checkpoint,
+)
+
+
+def _handle(req: dict, ctx: dict) -> dict:
+    params = ctx["params"]
+    t0 = perf_counter()
+    name = req["record"]
+    record = read_record(name)
+    scg = get_channels(record, params.in_channels, 0, record.sig_len)
+    overlap = int(float(req.get("overlap_s", 0.0)) * SAMPLE_FREQ)
+    rhc_minmax = ctx["rhc_minmax"] if req.get("calibrate", ctx["calibrate"]) else None
+
+    if req.get("continuous", False):
+        pred = _predict_continuous(ctx["g_params"], scg, rhc_minmax)
+        mode = "continuous"
+    else:
+        pred = stream_infer(
+            ctx["g_params"],
+            scg.T.astype(np.float32),
+            segment_samples=params.segment_samples,
+            overlap=overlap,
+            rhc_minmax=rhc_minmax,
+        )
+        mode = "windowed"
+
+    resp = {
+        "record": name,
+        "mode": mode,
+        "n_samples": int(pred.shape[0]),
+        "seconds": round(pred.shape[0] / SAMPLE_FREQ, 3),
+        "checkpoint": ctx["ckpt_name"],
+        "ms": round((perf_counter() - t0) * 1e3, 1),
+    }
+    if req.get("save", True):
+        out_dir = ctx["out_dir"]
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"{name}.npy")
+        np.save(path, pred.astype(np.float32))
+        resp["path"] = path
+    else:
+        resp["waveform"] = np.asarray(pred, dtype=np.float32).tolist()
+    return resp
+
+
+def _warm(ctx, n_windows: int):
+    """Pre-compile the full-batch streaming program on synthetic input."""
+    params = ctx["params"]
+    t = params.segment_samples
+    c = len(params.in_channels)
+    rng = np.random.default_rng(0)
+    stream_infer(
+        ctx["g_params"],
+        rng.random((c, n_windows * t)).astype(np.float32),
+        segment_samples=t,
+    )
+
+
+def run(
+    params,
+    checkpoint: str = "best",
+    calibrate: bool = False,
+    out_dir: str | None = None,
+    warm: int = 0,
+    stdin=None,
+    stdout=None,
+) -> int:
+    """Serve until EOF or ``{"cmd": "quit"}``.  Returns requests served."""
+    stdin = stdin or sys.stdin
+    stdout = stdout or sys.stdout
+    start_time = time()
+
+    ckpt_name = resolve_checkpoint(params, checkpoint)
+    ctx = {
+        "params": params,
+        "ckpt_name": ckpt_name,
+        "g_params": load_generator_params(params, ckpt_name),
+        "calibrate": calibrate,
+        "rhc_minmax": cohort_rhc_minmax(params) if calibrate else None,
+        "out_dir": out_dir or os.path.join(params.dir_path, "predictions"),
+    }
+    if warm:
+        _warm(ctx, warm)
+    print(
+        timelog(
+            f"Run waveform_serve for {params.dir_path} | {ckpt_name} | ready",
+            start_time,
+        ),
+        file=sys.stderr,
+        flush=True,
+    )
+
+    served = 0
+    for line in stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+            if req.get("cmd") == "quit":
+                break
+            if req.get("cmd") == "ping":
+                resp = {"ok": True, "checkpoint": ckpt_name}
+            else:
+                resp = _handle(req, ctx)
+                served += 1
+        except Exception as e:  # per-request isolation
+            resp = {"error": f"{type(e).__name__}: {e}"}
+        print(json.dumps(resp), file=stdout, flush=True)
+    print(
+        timelog(f"waveform_serve | {served} requests served", start_time),
+        file=sys.stderr,
+        flush=True,
+    )
+    return served

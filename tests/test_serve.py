@@ -1,0 +1,94 @@
+"""Persistent inference daemon (scgrhc.pipeline.serve): request/response
+protocol, per-request error isolation, parity with the predict stage."""
+
+import io
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from scgrhc.core.params import Params
+from scgrhc.train import checkpoint as ckpt_io
+from scgrhc.train.wgan import TrainConfig, init_state
+
+
+@pytest.fixture()
+def exp_with_ckpt(use_synth_db, tmp_path):
+    d = tmp_path / "exp"
+    os.makedirs(d / "checkpoints")
+    cfg = {
+        "dir_path": str(d),
+        "in_channels": ["patch_ACC_lat", "patch_ACC_hf"],
+        "chamber": "PA", "segment_size": 1.5, "batch_size": 8,
+        "train_path": "loader_train.pickle",
+        "valid_path": "loader_valid.pickle",
+        "test_path": "loader_test.pickle",
+        "checkpoint_dir_path": "checkpoints",
+        "comparison_dir_path": "comparisons",
+        "pred_top_dir_path": "pred_top", "pred_rand_dir_path": "pred_rand",
+        "alpha": 1e-4, "beta1": 0.5, "beta2": 0.999, "n_critic": 2,
+        "lambda_gp": 10, "lambda_aux": 100, "total_epochs": 1,
+        "min_RHC": -50, "use_global_min_max": False,
+    }
+    (d / "params.json").write_text(json.dumps(cfg))
+    state = init_state(jax.random.key(0), 2, TrainConfig())
+    ckpt_io.save(str(d / "checkpoints" / "003.checkpoint"), start_time=0.0,
+                 epoch=3, g_losses=[], d_losses=[], state=state)
+    return Params(str(d / "params.json"))
+
+
+def _serve(params, requests, **kw):
+    from scgrhc.pipeline import serve
+
+    out = io.StringIO()
+    served = serve.run(
+        params,
+        checkpoint="last",
+        stdin=io.StringIO("\n".join(json.dumps(r) for r in requests) + "\n"),
+        stdout=out,
+        **kw,
+    )
+    lines = [json.loads(l) for l in out.getvalue().splitlines()]
+    return served, lines
+
+
+def test_serve_predicts_and_saves(exp_with_ckpt):
+    served, resp = _serve(
+        exp_with_ckpt,
+        [{"cmd": "ping"}, {"record": "SYN000"}, {"cmd": "quit"},
+         {"record": "ignored-after-quit"}],
+    )
+    assert served == 1
+    assert resp[0] == {"ok": True, "checkpoint": "003.checkpoint"}
+    r = resp[1]
+    assert r["record"] == "SYN000" and r["mode"] == "windowed"
+    assert r["n_samples"] == 80 * 750 and r["ms"] > 0
+    pred = np.load(r["path"])
+    assert pred.shape == (80 * 750,)
+    assert len(resp) == 2  # nothing answered after quit
+
+
+def test_serve_matches_predict_stage(exp_with_ckpt):
+    from scgrhc.pipeline import predict
+
+    want = np.load(predict.run(exp_with_ckpt, "SYN001", checkpoint="last"))
+    _, resp = _serve(
+        exp_with_ckpt, [{"record": "SYN001", "save": False}]
+    )
+    got = np.asarray(resp[0]["waveform"], dtype=np.float32)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_serve_isolates_request_errors(exp_with_ckpt):
+    served, resp = _serve(
+        exp_with_ckpt,
+        [{"record": "NO_SUCH_RECORD"}, "not json at all",
+         {"record": "SYN000", "save": False}],
+    )
+    assert "error" in resp[0]
+    assert "error" in resp[1]
+    assert resp[2]["record"] == "SYN000"  # daemon survived both
+    assert served == 1
