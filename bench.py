@@ -63,7 +63,8 @@ def _flops_of(jitted, *args):
 
 def _emit(metric, value, unit, vs_baseline=None, **extra):
     line = {"metric": metric, "value": round(float(value), 1), "unit": unit,
-            "vs_baseline": round(float(vs_baseline), 1) if vs_baseline else None}
+            "vs_baseline": (round(float(vs_baseline), 1)
+                            if vs_baseline is not None else None)}
     line.update(extra)
     print(json.dumps(line))
 
@@ -347,7 +348,7 @@ def run_data(args):
 
     with tempfile.TemporaryDirectory() as td:
         make_synthetic_database(td, n_records=4, duration_s=600.0)
-        old = paths.PROCESSED_DATA_PATH
+        old = paths.DATA_PATH
         paths.set_data_path(td)
         try:
             get_segments(P())  # warm imports

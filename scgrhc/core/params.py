@@ -92,6 +92,23 @@ class Params:
             import random as _random
 
             seed = _random.SystemRandom().randrange(2**31)
+            # Multi-controller pods must agree on the drawn seed or every
+            # process's inits/shuffles silently diverge under replicated
+            # shardings; adopt process 0's draw.
+            try:
+                import jax
+
+                if jax.process_count() > 1:
+                    import numpy as _np
+                    from jax.experimental import multihost_utils
+
+                    seed = int(
+                        multihost_utils.broadcast_one_to_all(
+                            _np.int64(seed)
+                        )
+                    )
+            except Exception:
+                pass  # jax absent/uninitialized: single-process use
         self.seed = seed
         self.dtype = d.get("dtype", "float32")
         self.eval_batch = d.get("eval_batch", 1024)

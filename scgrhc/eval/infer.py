@@ -18,6 +18,7 @@ import numpy as np
 
 from scgrhc.eval import metrics
 from scgrhc.models import generator
+from scgrhc.parallel.mesh import place_global
 
 
 def _chunk_scores_impl(g_params, scg, rhc, mm_rhc, dtype: str):
@@ -91,9 +92,11 @@ def predict_split(
             rhc = jnp.pad(rhc, ((0, pad), (0, 0), (0, 0)))
             mm_c = jnp.pad(mm_c, ((0, pad), (0, 0)), constant_values=(0.0, 1.0))
         if sharding is not None:
-            scg = jax.device_put(scg, sharding)
-            rhc = jax.device_put(rhc, sharding)
-            mm_c = jax.device_put(mm_c, sharding)
+            # place_global, not device_put: on a multi-controller pod the
+            # sharding spans non-addressable devices (train does the same)
+            scg = place_global(scg, sharding)
+            rhc = place_global(rhc, sharding)
+            mm_c = place_global(mm_c, sharding)
         x, y, sc = _chunk_scores(g_params, scg, rhc, mm_c, batch, dtype)
         keep = e - s
         xs.append(np.asarray(x[:keep]))
@@ -161,9 +164,9 @@ def predict_split_multi(
                 rhc = jnp.pad(rhc, ((0, pad), (0, 0), (0, 0)))
                 mm_c = jnp.pad(mm_c, ((0, pad), (0, 0)), constant_values=(0.0, 1.0))
             if sharding is not None:
-                scg = jax.device_put(scg, sharding)
-                rhc = jax.device_put(rhc, sharding)
-                mm_c = jax.device_put(mm_c, sharding)
+                scg = place_global(scg, sharding)
+                rhc = place_global(rhc, sharding)
+                mm_c = place_global(mm_c, sharding)
             x, ys, sc = _chunk_scores_stacked(stacked, scg, rhc, mm_c, batch, dtype)
             keep = e - s
             xs.append(np.asarray(x[:keep]))

@@ -195,40 +195,48 @@ def run(params, loader_type: str, checkpoint_path: str) -> None:
 
     stack = max(1, int(getattr(params, "eval_stack", 8)))
     sharding = _auto_sharding(params.eval_batch)
-    if len(todo) > 1 and stack > 1:
-        _run_stacked(
-            params, loader, checkpoint_paths, todo, comp_dir_path,
-            load_g_params, print_line, stack, sharding, loader_type,
-        )
-        return
-
-    pool = ThreadPoolExecutor(max_workers=1)
-    pending = pool.submit(load_g_params, todo[0]) if todo else None
-    next_todo = 1
-
     try:
-        for i, ckpt_name in enumerate(checkpoint_paths):
-            print_line(i)
-            if is_processed(ckpt_name):
-                continue
-            g_params = pending.result()
-            pending = (
-                pool.submit(load_g_params, todo[next_todo])
-                if next_todo < len(todo)
-                else None
+        if len(todo) > 1 and stack > 1:
+            _run_stacked(
+                params, loader, checkpoint_paths, todo, comp_dir_path,
+                load_g_params, print_line, stack, sharding, loader_type,
             )
-            next_todo += 1
+            return
 
-            with trace(f"eval_{loader_type}"):
-                comparisons = get_waveform_comparisons(
-                    g_params, loader, batch=params.eval_batch, dtype=params.dtype,
-                    sharding=sharding,
+        pool = ThreadPoolExecutor(max_workers=1)
+        pending = pool.submit(load_g_params, todo[0]) if todo else None
+        next_todo = 1
+
+        try:
+            for i, ckpt_name in enumerate(checkpoint_paths):
+                print_line(i)
+                if is_processed(ckpt_name):
+                    continue
+                g_params = pending.result()
+                pending = (
+                    pool.submit(load_g_params, todo[next_todo])
+                    if next_todo < len(todo)
+                    else None
                 )
-            _write_comparison_csv(comparisons, comp_dir_path, ckpt_name)
+                next_todo += 1
+
+                with trace(f"eval_{loader_type}"):
+                    comparisons = get_waveform_comparisons(
+                        g_params, loader, batch=params.eval_batch,
+                        dtype=params.dtype, sharding=sharding,
+                    )
+                _write_comparison_csv(comparisons, comp_dir_path, ckpt_name)
+        finally:
+            if pending is not None:
+                pending.cancel()
+            pool.shutdown(wait=False, cancel_futures=True)
     finally:
-        if pending is not None:
-            pending.cancel()
-        pool.shutdown(wait=False, cancel_futures=True)
+        # select reads comparisons/*.csv next; non-primaries must not
+        # outrun the primary's (thread-pooled) CSV writes.  In the
+        # finally so a primary-side exception still releases the others.
+        from scgrhc.parallel import comm
+
+        comm.barrier("test_end")
 
 
 def _run_stacked(

@@ -195,21 +195,6 @@ def _decode_stream(raw: np.ndarray, fmt: str, path: str) -> np.ndarray:
     )
 
 
-def _decode_dat(path: str, fmt: str, n_sig: int, sig_len: int) -> np.ndarray:
-    """Decode one ``.dat`` file holding ``n_sig`` interleaved single-frame
-    signals.  Returns an int32 array of shape (sig_len, n_sig) of raw ADC
-    values (fmt 8 returns differences; see :func:`rdrecord`)."""
-    raw = np.fromfile(path, dtype=np.uint8)
-    adc = _decode_stream(raw, fmt, path)
-    total = n_sig * sig_len
-    if adc.size < total:
-        raise ValueError(
-            f"{path}: .dat holds {adc.size} samples but header promises "
-            f"{total} ({n_sig} signals x {sig_len})"
-        )
-    return adc[:total].reshape(-1, n_sig)
-
-
 def rdrecord(record_path: str) -> Record:
     """Read a WFDB record (path without extension) → :class:`Record`.
 

@@ -164,7 +164,14 @@ def dispatch(argv: list[str]) -> int:
 
         rest = argv[2:]
         which = rest[0] if rest and not rest[0].startswith("--") else "best"
-        warm = int(rest[rest.index("--warm") + 1]) if "--warm" in rest else 0
+        warm = 0
+        if "--warm" in rest:
+            i = rest.index("--warm")
+            try:
+                warm = int(rest[i + 1])
+            except (IndexError, ValueError):
+                raise SystemExit("usage: scgrhc serve <dir> [ckpt] "
+                                 "[--calibrate] [--warm N]")
         params = Params(os.path.join(argv[1], "params.json"))
         serve.run(
             params, checkpoint=which, calibrate="--calibrate" in rest,

@@ -57,7 +57,11 @@ def _handle(req: dict, ctx: dict) -> dict:
     record = read_record(name)
     scg = get_channels(record, params.in_channels, 0, record.sig_len)
     overlap = int(float(req.get("overlap_s", 0.0)) * SAMPLE_FREQ)
-    rhc_minmax = ctx["rhc_minmax"] if req.get("calibrate", ctx["calibrate"]) else None
+    rhc_minmax = None
+    if req.get("calibrate", ctx["calibrate"]):
+        if ctx["rhc_minmax"] is None:  # daemon started without --calibrate
+            ctx["rhc_minmax"] = cohort_rhc_minmax(params)
+        rhc_minmax = ctx["rhc_minmax"]
 
     if req.get("continuous", False):
         pred = _predict_continuous(ctx["g_params"], scg, rhc_minmax)
@@ -78,6 +82,7 @@ def _handle(req: dict, ctx: dict) -> dict:
         "n_samples": int(pred.shape[0]),
         "seconds": round(pred.shape[0] / SAMPLE_FREQ, 3),
         "checkpoint": ctx["ckpt_name"],
+        "calibrated": rhc_minmax is not None,
         "ms": round((perf_counter() - t0) * 1e3, 1),
     }
     if req.get("save", True):

@@ -77,12 +77,16 @@ def run(params) -> None:
     scores = get_checkpoint_scores(params, start_time)
     from scgrhc.parallel import comm
 
-    if comm.is_primary():  # single-writer discipline on pods
-        scores_df = pd.DataFrame.from_dict(scores)
-        scores_df.to_csv(
-            os.path.join(params.dir_path, "checkpoint_scores.csv"), index=False
-        )
-        best_score = scores_df.loc[scores_df["pcc_r"].idxmax()]
-        with open(os.path.join(params.dir_path, "checkpoint_best.txt"), "w") as f:
-            f.write(best_score.to_string())
-    comm.barrier("select_end")  # pipeline reads checkpoint_best.txt next
+    try:
+        if comm.is_primary():  # single-writer discipline on pods
+            scores_df = pd.DataFrame.from_dict(scores)
+            scores_df.to_csv(
+                os.path.join(params.dir_path, "checkpoint_scores.csv"), index=False
+            )
+            best_score = scores_df.loc[scores_df["pcc_r"].idxmax()]
+            with open(os.path.join(params.dir_path, "checkpoint_best.txt"), "w") as f:
+                f.write(best_score.to_string())
+    finally:
+        # in the finally: a primary-side failure (e.g. empty scores →
+        # idxmax raising) must still release non-primaries parked here
+        comm.barrier("select_end")  # pipeline reads checkpoint_best.txt next

@@ -135,6 +135,30 @@ def _dp_gather_place(state, store, idx: np.ndarray):
     return replicate(mesh, state), scg_all, rhc_all, idx, mask
 
 
+def _dp_place_tail(scg_t: np.ndarray, rhc_t: np.ndarray):
+    """Pad + place ONE host-resident batch across the mesh (the tail batch
+    of epoch mode; scanned batches go through :func:`_dp_gather_place`).
+    Shares the pad+mask invariant with the gather path via
+    :func:`_pad_idx_mask`.  Returns (scg, rhc, mask, mesh)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from scgrhc.parallel.mesh import make_mesh, place_global
+
+    mesh = make_mesh()
+    axis = mesh.axis_names[0]
+    tail_idx, mask_np = _pad_idx_mask(
+        np.arange(scg_t.shape[0], dtype=np.int32), mesh.devices.size
+    )
+    batch_sh = NamedSharding(mesh, P(axis))
+    mask = place_global(mask_np, batch_sh) if mask_np is not None else None
+    return (
+        place_global(scg_t[tail_idx], batch_sh),
+        place_global(rhc_t[tail_idx], batch_sh),
+        mask,
+        mesh,
+    )
+
+
 def _run_epoch_step_mode(params, cfg, state, train_loader, epoch_rng, epoch):
     """Reference-style loop: one jitted program per batch.  Yields
     (batch_index, d_losses (n_critic,), g_loss) as floats arrive.
@@ -201,21 +225,9 @@ def _run_epoch_scan_mode(params, cfg, state, train_loader, epoch_rng, epoch):
         scg_t, rhc_t = store.scg[tail], store.rhc[tail]
         mask_t = None
         if use_dp:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from scgrhc.parallel.mesh import replicate
 
-            from scgrhc.parallel.mesh import make_mesh, place_global, replicate
-
-            mesh = make_mesh()
-            axis = mesh.axis_names[0]
-            tail_idx, mask_np = _pad_idx_mask(
-                np.arange(len(tail), dtype=np.int32), mesh.devices.size
-            )
-            scg_t, rhc_t = scg_t[tail_idx], rhc_t[tail_idx]
-            batch_sh = NamedSharding(mesh, P(axis))
-            if mask_np is not None:
-                mask_t = place_global(mask_np, batch_sh)
-            scg_t = place_global(scg_t, batch_sh)
-            rhc_t = place_global(rhc_t, batch_sh)
+            scg_t, rhc_t, mask_t, mesh = _dp_place_tail(scg_t, rhc_t)
             if not nb:  # state not yet replicated by the scan path
                 state = replicate(mesh, state)
         with annotate("train_step"):
@@ -290,5 +302,9 @@ def _train_loop(
             )
         epoch += 1
 
-    orbax_io.wait()
-    comm.barrier("train_end")  # non-primaries must not outrun the last write
+    try:
+        orbax_io.wait()
+    finally:
+        # finally: a primary-side flush failure must still release
+        # non-primaries parked at the barrier
+        comm.barrier("train_end")  # non-primaries must not outrun the last write

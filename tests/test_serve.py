@@ -92,3 +92,23 @@ def test_serve_isolates_request_errors(exp_with_ckpt):
     assert "error" in resp[1]
     assert resp[2]["record"] == "SYN000"  # daemon survived both
     assert served == 1
+
+
+def test_serve_lazy_calibrate(exp_with_ckpt):
+    """A per-request {"calibrate": true} on a daemon started WITHOUT
+    --calibrate computes the cohort range lazily (round-2 review fix) and
+    flags the response."""
+    from scgrhc.data import run as data_run
+
+    data_run.run(exp_with_ckpt)  # calibration reads the train split
+    _, resp = _serve(
+        exp_with_ckpt,
+        [{"record": "SYN000", "save": False},
+         {"record": "SYN000", "save": False, "calibrate": True}],
+    )
+    assert resp[0]["calibrated"] is False
+    assert resp[1]["calibrated"] is True
+    raw = np.asarray(resp[0]["waveform"])
+    cal = np.asarray(resp[1]["waveform"])
+    # calibrated output is on the mmHg scale, not 0..1
+    assert np.ptp(cal) > np.ptp(raw)
