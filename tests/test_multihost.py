@@ -31,6 +31,14 @@ WORKER = textwrap.dedent(
 
     assert jax.process_count() == 2 and jax.device_count() == 4
 
+    # "seed": null must agree across controllers (process-0 broadcast)
+    from jax.experimental import multihost_utils
+    from scgrhc.core.params import Params
+    p = Params(os.path.join(outdir, "params.json"))
+    assert p.unseeded
+    seeds = np.asarray(multihost_utils.process_allgather(jnp.int64(p.seed)))
+    assert (seeds == seeds[0]).all(), seeds
+
     T = 96
     cfg = TrainConfig(n_critic=1)
     state = init_state(jax.random.key(0), 1, cfg)
@@ -65,10 +73,16 @@ WORKER = textwrap.dedent(
 
 @pytest.mark.slow
 def test_two_process_dp_and_single_writer(tmp_path):
+    import json
+
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
     outdir = tmp_path / "out"
     outdir.mkdir()
+    cfg = json.load(open("/root/reference/waveform_06/params.json"))
+    cfg["dir_path"] = str(outdir)
+    cfg["seed"] = None
+    (outdir / "params.json").write_text(json.dumps(cfg))
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     # 2 virtual CPU devices per process -> 4-device global mesh
@@ -95,4 +109,4 @@ def test_two_process_dp_and_single_writer(tmp_path):
     # both controllers computed the same (replicated) loss history
     assert losses["0"] == losses["1"]
     # exactly one process wrote the artifact
-    assert os.listdir(outdir) == ["000.checkpoint"]
+    assert sorted(os.listdir(outdir)) == ["000.checkpoint", "params.json"]
