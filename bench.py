@@ -220,13 +220,24 @@ def run_train_torch_baseline(args):
     rhc = torch.rand(b, 1, T)
     mse = torch.nn.MSELoss()
 
+    def compute_gp(critic, scg_b, real, fake):
+        # reference GP semantics (waveform_train.py:249-286)
+        eps = torch.rand(real.size(0), 1, 1)
+        interp = (eps * real + (1 - eps) * fake).requires_grad_(True)
+        score = critic(torch.cat((scg_b, interp), 1))
+        grads = torch.autograd.grad(
+            score, interp, grad_outputs=torch.ones_like(score),
+            create_graph=True,
+        )[0]
+        return ((grads.reshape(real.size(0), -1).norm(2, dim=1) - 1) ** 2).mean()
+
     def step():
         for _ in range(2):
             pred = g(scg)
             d_opt.zero_grad()
             loss = -d(torch.cat((scg, rhc), 1)).mean() + d(
                 torch.cat((scg, pred.detach()), 1)
-            ).mean() + 10.0 * mod.compute_gp(d, scg, rhc, pred.detach())
+            ).mean() + 10.0 * compute_gp(d, scg, rhc, pred.detach())
             loss.backward()
             d_opt.step()
         g_opt.zero_grad()
