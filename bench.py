@@ -320,7 +320,7 @@ def run_stream(args):
     if args.continuous:
         from scgrhc.models import cp
 
-        rec_d = jnp.asarray(rec)
+        rec_d = jnp.asarray(rec)[None]  # (1, C, L)
         np.asarray(cp.apply_continuous(g, rec_d))  # warm/compile
         t0 = time.perf_counter()
         np.asarray(cp.apply_continuous(g, rec_d))
