@@ -128,3 +128,30 @@ def test_seed_null_unseeded_escape_hatch(tmp_path):
     p.write_text(json.dumps(cfg))
     c = Params(str(p))
     assert not c.unseeded and c.seed == 7
+
+
+def test_extension_keys_reach_train_config(tmp_path):
+    """The round-2 opt-in keys plumb through Params into TrainConfig."""
+    import json
+
+    from scgrhc.core.params import Params
+    from scgrhc.train.wgan import TrainConfig
+
+    cfg = json.load(open("/root/reference/waveform_06/params.json"))
+    cfg.update(dir_path=str(tmp_path), train_dtype="bfloat16",
+               critic_fuse="2b", remat=True, conv_backend="pallas")
+    p = tmp_path / "params.json"
+    p.write_text(json.dumps(cfg))
+    tc = TrainConfig.from_params(Params(str(p)))
+    assert tc.compute_dtype == "bfloat16"
+    assert tc.critic_fuse == "2b"
+    assert tc.remat is True
+    assert tc.conv_backend == "pallas"
+
+    # defaults when the keys are absent
+    cfg2 = json.load(open("/root/reference/waveform_06/params.json"))
+    cfg2["dir_path"] = str(tmp_path)
+    p.write_text(json.dumps(cfg2))
+    tc2 = TrainConfig.from_params(Params(str(p)))
+    assert (tc2.compute_dtype, tc2.critic_fuse, tc2.remat,
+            tc2.conv_backend) == ("float32", "off", False, "xla")
