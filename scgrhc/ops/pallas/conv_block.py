@@ -30,6 +30,12 @@ f32 (`preferred_element_type`), IN statistics are f32, outputs cast back
 to the input dtype — numerics match scgrhc.ops.nn to f32 reassociation
 tolerance in both precisions.
 
+On-chip numerics (verified on the real v5e, not just interpret mode):
+forward matches the XLA chain to <5e-5 absolute at both the 3→64 and
+256→512 shapes; the recompute backward's dx matches autodiff to ~6e-4
+absolute (≲1e-4 relative) — MXU accumulation-order jitter between XLA's
+fused conv and this kernel's three-matmul decomposition.
+
 MEASURED OUTCOME (BENCH.md): XLA's own conv+IN+relu scheduling matches
 this kernel's forward within ~4% and beats its recompute backward, so
 ``conv_backend: "pallas"`` is an opt-in with a documented negative
