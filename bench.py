@@ -441,6 +441,9 @@ def main(argv=None):
     ap.add_argument("--continuous", action="store_true")
     args = ap.parse_args(argv)
 
+    import scgrhc
+
+    scgrhc.configure_compilation_cache()
     {
         "inference": run_inference,
         "train": run_train,

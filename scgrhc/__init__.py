@@ -26,37 +26,72 @@ utils     synthetic WFDB record generation, plotting
 __version__ = "0.1.0"
 
 
-def _enable_compilation_cache() -> None:
+def _host_fingerprint() -> str:
+    """Short hash of this host's CPU identity (arch + feature flags).
+
+    CPU executables AOT-cached by XLA carry CPU-feature flags; loading an
+    artifact compiled on a different machine can SIGILL
+    (``cpu_aot_loader`` feature-mismatch).  Scoping the cache dir by host
+    fingerprint makes cross-machine pollution structurally impossible.
+    """
+    import hashlib
+    import platform
+
+    basis = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    basis += ":" + line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        basis += ":" + platform.processor()
+    return hashlib.sha256(basis.encode()).hexdigest()[:8]
+
+
+def _cache_dir_for(platform_name: str) -> str:
+    import os
+
+    return os.path.join(
+        os.path.expanduser("~"),
+        ".cache",
+        "scgrhc",
+        f"xla_cache_{platform_name}_{_host_fingerprint()}",
+    )
+
+
+def configure_compilation_cache():
     """Persistent XLA compilation cache, shared across stage processes.
 
     The pipeline runs data/train/eval/select as separate processes (CLI and
     sweep fan-out); without a persistent cache every process re-JITs the
-    same programs (minutes per stage).  Opt out or redirect with
-    ``SCGRHC_COMPILE_CACHE`` (set to ``0``/``off`` to disable).
+    same programs (minutes per stage).  The cache dir is keyed by the
+    RESOLVED jax backend (``jax.default_backend()``, not the
+    ``JAX_PLATFORMS`` env var — callers may force a platform via
+    ``jax.config`` after import) plus a host CPU fingerprint, so a
+    CPU-mesh run never loads AOT artifacts compiled for another machine's
+    CPU.  Called from every entry point (CLI dispatch, bench, driver
+    entries, test conftest) AFTER any platform forcing; resolving the
+    backend here initializes it, which those callers do next anyway.
+
+    Opt out or redirect with ``SCGRHC_COMPILE_CACHE`` (``0``/``off``
+    disables).  Returns the cache dir in use, or None when disabled/failed.
     """
     import os
 
     loc = os.environ.get("SCGRHC_COMPILE_CACHE", "")
     if loc.lower() in ("0", "off", "false", "none"):
-        return
-    if not loc:
-        # scope by requested platform: executables AOT-compiled through the
-        # remote TPU tunnel carry CPU-feature flags that can SIGILL if a
-        # local-CPU process (e.g. the test suite) loads them
-        platform = os.environ.get("JAX_PLATFORMS", "default").replace(",", "_")
-        loc = os.path.join(
-            os.path.expanduser("~"), ".cache", "scgrhc", f"xla_cache_{platform}"
-        )
+        return None
     try:
         import jax
 
+        if not loc:
+            loc = _cache_dir_for(jax.default_backend())
         os.makedirs(loc, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", loc)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        return loc
     except Exception:
-        pass  # cache is an optimization only
-
-
-_enable_compilation_cache()
+        return None  # cache is an optimization only
 
 from scgrhc.core import debug as _debug  # noqa: E402  (SCGRHC_DEBUG modes)

@@ -32,8 +32,12 @@ def main(argv: list[str] | None = None) -> int:
             "                                        torch.save file for reference tools"
         )
         return 0
+    import scgrhc
     from scgrhc.pipeline.run import dispatch
 
+    # after argv parsing, before any stage compiles: the platform is
+    # settled now, so the cache dir keys on the resolved backend
+    scgrhc.configure_compilation_cache()
     return dispatch(argv)
 
 

@@ -89,26 +89,7 @@ class Params:
         seed = d.get("seed", 0)
         self.unseeded = seed is None
         if self.unseeded:
-            import random as _random
-
-            seed = _random.SystemRandom().randrange(2**31)
-            # Multi-controller pods must agree on the drawn seed or every
-            # process's inits/shuffles silently diverge under replicated
-            # shardings; adopt process 0's draw.
-            try:
-                import jax
-
-                if jax.process_count() > 1:
-                    import numpy as _np
-                    from jax.experimental import multihost_utils
-
-                    seed = int(
-                        multihost_utils.broadcast_one_to_all(
-                            _np.int64(seed)
-                        )
-                    )
-            except Exception:
-                pass  # jax absent/uninitialized: single-process use
+            seed = self._draw_shared_seed()
         self.seed = seed
         self.dtype = d.get("dtype", "float32")
         self.eval_batch = d.get("eval_batch", 1024)
@@ -146,6 +127,47 @@ class Params:
         # artifacts (recordutil.py:202-209) — both remain readable by
         # scgrhc (scgrhc.data.loaders reads either format)
         self.loader_backend = d.get("loader_backend", "native")
+
+    @staticmethod
+    def _draw_shared_seed() -> int:
+        """One random seed, agreed across all controllers.
+
+        Multi-controller pods must adopt process 0's draw or every
+        process's inits/shuffles silently diverge under replicated
+        shardings.  The broadcast only works if ``jax.distributed`` is
+        initialized BEFORE ``Params`` is constructed; a multi-process
+        launch detected from the environment while ``process_count()`` is
+        still 1 therefore fails loudly instead of silently diverging, and
+        a broadcast failure on an initialized pod propagates (it must not
+        be swallowed into per-process seeds)."""
+        import random as _random
+
+        seed = _random.SystemRandom().randrange(2**31)
+        try:
+            import jax
+
+            pc = jax.process_count()
+        except Exception:
+            return seed  # jax absent: plain single-process use
+        if pc > 1:
+            import numpy as _np
+            from jax.experimental import multihost_utils
+
+            return int(multihost_utils.broadcast_one_to_all(_np.int64(seed)))
+        n_env = os.environ.get("JAX_NUM_PROCESSES")
+        coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+        if (n_env and n_env.isdigit() and int(n_env) > 1) or (
+            coord and n_env is None
+        ):
+            raise RuntimeError(
+                '"seed": null on a multi-controller launch '
+                f"(JAX_COORDINATOR_ADDRESS={coord!r}, JAX_NUM_PROCESSES="
+                f"{n_env!r}) requires jax.distributed.initialize() before "
+                "Params(...): process_count() is still 1, so each process "
+                "would draw a different seed and replicated state would "
+                "silently diverge."
+            )
+        return seed
 
     @staticmethod
     def init_json(path: str) -> dict[str, Any]:

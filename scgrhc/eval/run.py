@@ -37,10 +37,12 @@ CSV_COLUMNS = [
 
 
 def _auto_sharding(batch: int):
-    """Shard eval chunks over all local chips when the chunk divides evenly
-    (multi-chip hosts get data-parallel eval with zero configuration)."""
-    n = jax.device_count()
-    if n > 1 and batch % n == 0:
+    """Shard eval chunks over all local chips (multi-chip hosts get
+    data-parallel eval with zero configuration).  Non-divisible
+    ``eval_batch`` values are fine: predict_split rounds the static chunk
+    up to the mesh size and pads-to-static, so any batch shards cleanly
+    (eval/infer.py)."""
+    if jax.device_count() > 1:
         from scgrhc.parallel.mesh import batch_sharding, make_mesh
 
         return batch_sharding(make_mesh())

@@ -11,8 +11,9 @@ the shared library has been built; the NumPy path is always available.
 Supported signal storage formats: 16 (little-endian int16 — the common case
 for this dataset), 61 (big-endian int16), 32 (little-endian int32), 24
 (little-endian 3-byte), 80 (8-bit offset binary), 160 (16-bit offset
-binary), 212 (packed 12-bit pairs, the classic PhysioNet format), and 8
-(8-bit first differences).  Formats 310/311 raise a clear error.  Each
+binary), 212 (packed 12-bit pairs, the classic PhysioNet format), 310/311
+(packed 10-bit triplets, word-split and LSB-first layouts), and 8
+(8-bit first differences).  Each
 signal group may live in its own ``.dat`` file or share one interleaved
 file; ``fmtxN`` multi-frame signals (``samps_per_frame`` > 1) are smoothed
 by frame averaging, matching ``wfdb.rdrecord``'s default
@@ -20,8 +21,8 @@ by frame averaging, matching ``wfdb.rdrecord``'s default
 
 Invalid-sample sentinels map to NaN in ``p_signal`` exactly like the wfdb
 package: −32768 (fmt 16/61), −2048 (fmt 212), −2147483648 (fmt 32),
-−8388608 (fmt 24), −128 (fmt 80), −32768 (fmt 160).  Format 8 stores
-differences and has no representable sentinel.
+−8388608 (fmt 24), −128 (fmt 80), −32768 (fmt 160), −512 (fmt 310/311).
+Format 8 stores differences and has no representable sentinel.
 
 Physical conversion follows the WFDB spec: ``p = (adc - baseline) / gain``
 with gain defaulting to 200 when the header gives 0.
@@ -66,6 +67,8 @@ SENTINELS = {
     "32": -2147483648,
     "24": -8388608,
     "80": -128,
+    "310": -512,
+    "311": -512,
 }
 
 
@@ -188,10 +191,33 @@ def _decode_stream(raw: np.ndarray, fmt: str, path: str) -> np.ndarray:
         adc[1::2] = second
         adc[adc > 2047] -= 4096  # sign-extend 12-bit
         return adc
+    if fmt == "310":
+        # Packed 10-bit triplets, 4 bytes → 3 samples (WFDB signal(5)):
+        # two LE 16-bit words per group; samples 0/1 are bits 1-10 of each
+        # word (bit 0 unused), sample 2 splices the two words' top-5 bits
+        # (word 2's five MSBs are its high half, word 1's its low half).
+        n_grp = raw.size // 4
+        w = raw[: n_grp * 4].view("<u2").astype(np.int32).reshape(-1, 2)
+        adc = np.empty(n_grp * 3, dtype=np.int32)
+        adc[0::3] = (w[:, 0] >> 1) & 0x3FF
+        adc[1::3] = (w[:, 1] >> 1) & 0x3FF
+        adc[2::3] = ((w[:, 1] >> 11) << 5) | (w[:, 0] >> 11)
+        adc[adc > 511] -= 1024  # sign-extend 10-bit
+        return adc
+    if fmt == "311":
+        # Packed 10-bit triplets, 4 bytes → 3 samples: one LE 32-bit word
+        # holds samples in its low 30 bits, LSB-first (top 2 bits unused).
+        n_grp = raw.size // 4
+        w = raw[: n_grp * 4].view("<u4").astype(np.int64)
+        adc = np.empty(n_grp * 3, dtype=np.int32)
+        adc[0::3] = w & 0x3FF
+        adc[1::3] = (w >> 10) & 0x3FF
+        adc[2::3] = (w >> 20) & 0x3FF
+        adc[adc > 511] -= 1024  # sign-extend 10-bit
+        return adc
     raise ValueError(
         f"Unsupported WFDB format {fmt!r} in {path} "
-        "(supported: 8/16/24/32/61/80/160/212; 310/311 are not implemented "
-        "— convert the record with `wfdb` tooling first)"
+        "(supported: 8/16/24/32/61/80/160/212/310/311)"
     )
 
 
@@ -292,13 +318,14 @@ def wrrecord(
     fmt: str = "16",
     units: str = "mV",
 ) -> None:
-    """Write a WFDB record (format 16 or 212, single interleaved .dat).
+    """Write a WFDB record (format 16, 212, 310, or 311; single
+    interleaved .dat).
 
     Used by synthetic-dataset fixtures; physical values are quantized through
     the ADC model, so ``rdrecord(wrrecord(x))`` matches ``x`` to 1/gain.
     """
-    if fmt not in ("16", "212"):
-        raise ValueError("writer supports formats 16 and 212 only")
+    if fmt not in ("16", "212", "310", "311"):
+        raise ValueError("writer supports formats 16/212/310/311 only")
     p_signal = np.asarray(p_signal, dtype=np.float64)
     sig_len, n_sig = p_signal.shape
     if n_sig != len(sig_names):
@@ -310,8 +337,10 @@ def wrrecord(
     if fmt == "16":
         info = np.iinfo(np.int16)
         adc = np.clip(adc, info.min, info.max).astype(np.int32)
-    else:  # 12-bit two's complement
+    elif fmt == "212":  # 12-bit two's complement
         adc = np.clip(adc, -2048, 2047).astype(np.int32)
+    else:  # 310/311: 10-bit two's complement
+        adc = np.clip(adc, -512, 511).astype(np.int32)
 
     with open(record_path + ".hea", "w") as f:
         f.write(f"{record_name} {n_sig} {fs:g} {sig_len}\n")
@@ -322,15 +351,15 @@ def wrrecord(
                 # .12g: %g's default 6 significant digits would round the
                 # calibration gain enough to exceed quantization error
                 f"{dat_name} {fmt} {gain:.12g}({baseline})/{units} "
-                f"{16 if fmt == '16' else 12} {baseline} "
-                f"{init_value} {checksum} 0 {name}\n"
+                f"{ {'16': 16, '212': 12, '310': 10, '311': 10}[fmt] } "
+                f"{baseline} {init_value} {checksum} 0 {name}\n"
             )
 
     flat = adc.reshape(-1)
     dat_path = os.path.join(os.path.dirname(record_path), dat_name)
     if fmt == "16":
         flat.astype("<i2").tofile(dat_path)
-    else:
+    elif fmt == "212":
         # pack 12-bit pairs: sample0 low byte | [hi4(s1)<<4 | hi4(s0)] | s1 low
         if flat.size % 2:
             flat = np.concatenate([flat, np.zeros(1, dtype=np.int32)])
@@ -341,3 +370,17 @@ def wrrecord(
         packed[:, 1] = ((first >> 8) & 0x0F) | (((second >> 8) & 0x0F) << 4)
         packed[:, 2] = second & 0xFF
         packed.tofile(dat_path)
+    else:  # 310/311: pack 10-bit triplets into 4 bytes
+        if flat.size % 3:
+            flat = np.concatenate(
+                [flat, np.zeros(3 - flat.size % 3, dtype=np.int32)]
+            )
+        u = np.where(flat < 0, flat + 1024, flat).astype(np.uint32)
+        s0, s1, s2 = u[0::3], u[1::3], u[2::3]
+        if fmt == "310":
+            w = np.empty((s0.size, 2), dtype=np.uint16)
+            w[:, 0] = ((s0 << 1) | ((s2 & 0x1F) << 11)).astype(np.uint16)
+            w[:, 1] = ((s1 << 1) | ((s2 >> 5) << 11)).astype(np.uint16)
+            w.astype("<u2").tofile(dat_path)
+        else:
+            (s0 | (s1 << 10) | (s2 << 20)).astype("<u4").tofile(dat_path)

@@ -32,7 +32,14 @@ def _acc_dtype(x):
     bf16 inputs emit bf16 HLO (the TPU MXU still accumulates bf16 partial
     sums in f32 internally) — requesting an f32 result for bf16 inputs
     would break autodiff: the cast-back transpose hands the conv transpose
-    an f32 cotangent against bf16 weights."""
+    an f32 cotangent against bf16 weights.
+
+    Backend dependence (deliberate, TPU-first): the internal-f32 guarantee
+    is a property of the TPU MXU.  On other backends (the CPU test mesh,
+    a future GPU port) bf16 convs genuinely accumulate at bf16 precision;
+    opt-in bf16 numerics are validated by the on-chip trajectory gate, not
+    by the CPU suite (which runs bf16 paths for shape/plumbing coverage
+    only)."""
     return jnp.float32 if x.dtype == jnp.float32 else None
 
 

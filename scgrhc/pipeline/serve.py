@@ -50,10 +50,25 @@ from scgrhc.pipeline.predict import (
 )
 
 
+def _valid_record_name(name) -> bool:
+    """Client-supplied record names feed both the WFDB read path and the
+    ``.npy`` save path; the daemon may be network-exposed (socat/ssh), so a
+    name like ``../../etc/x`` is an injection, not a typo.  Only a bare
+    basename is accepted."""
+    return (
+        isinstance(name, str)
+        and name not in ("", ".", "..")
+        and os.path.basename(name) == name
+        and (os.altsep is None or os.altsep not in name)
+    )
+
+
 def _handle(req: dict, ctx: dict) -> dict:
     params = ctx["params"]
     t0 = perf_counter()
     name = req["record"]
+    if not _valid_record_name(name):
+        raise ValueError(f"invalid record name {name!r} (bare names only)")
     record = read_record(name)
     scg = get_channels(record, params.in_channels, 0, record.sig_len)
     overlap = int(float(req.get("overlap_s", 0.0)) * SAMPLE_FREQ)

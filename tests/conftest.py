@@ -20,6 +20,11 @@ jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
+import scgrhc  # noqa: E402
+
+# after the CPU forcing above: cache dir keys on the resolved backend
+scgrhc.configure_compilation_cache()
+
 
 @pytest.fixture(scope="session")
 def synth_db(tmp_path_factory):

@@ -164,3 +164,31 @@ def test_sharded_eval_forward_matches(mesh8):
     ref = fwd(g, x)
     out = fwd(replicate(mesh8, g), jax.device_put(x, batch_sharding(mesh8)))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_sharded_eval_non_divisible_batch(mesh8):
+    """Eval auto-sharding engages at ANY eval_batch: predict_split rounds
+    the static chunk up to the mesh size and pads-to-static, so a
+    non-divisible batch no longer silently drops to one chip."""
+    from scgrhc.data.store import SegmentStore
+    from scgrhc.eval.infer import predict_split
+    from scgrhc.eval.run import _auto_sharding
+
+    sharding = _auto_sharding(13)  # 13 % 8 != 0 — must still shard
+    assert sharding is not None
+
+    rng = np.random.default_rng(0)
+    n = 19
+    store = SegmentStore(
+        rng.random((n, 2, T)).astype(np.float32),
+        rng.random((n, 1, T)).astype(np.float32),
+        [f"r{i}" for i in range(n)],
+        np.zeros(n, np.int64), np.zeros(n, np.int64),
+        np.tile([0.0, 1.0], (n, 1)), np.tile([0.0, 1.0], (n, 1)),
+        segment_samples=T,
+    )
+    g = init_state(jax.random.key(0), 2, TrainConfig()).g_params
+    r1, p1, s1 = predict_split(g, store, batch=13, sharding=sharding)
+    r0, p0, s0 = predict_split(g, store, batch=13)
+    np.testing.assert_allclose(p1, p0, atol=2e-5)
+    np.testing.assert_allclose(s1["pcc_r"], s0["pcc_r"], atol=1e-5)

@@ -94,6 +94,30 @@ def test_serve_isolates_request_errors(exp_with_ckpt):
     assert served == 1
 
 
+def test_serve_rejects_path_traversal(exp_with_ckpt, tmp_path):
+    """Client-supplied record names must stay bare basenames: a traversal
+    like '../x' is a per-request error, touches neither the read nor the
+    save path, and the daemon survives (ADVICE r2 medium)."""
+    evil = [
+        {"record": "../SYN000"},
+        {"record": "../../tmp/owned"},
+        {"record": os.path.join(str(tmp_path), "abs")},
+        {"record": ".."},
+        {"record": ""},
+        {"record": 7},
+        {"record": "SYN000", "save": False},  # normal request still works
+    ]
+    served, resp = _serve(exp_with_ckpt, evil)
+    for r in resp[:-1]:
+        assert "error" in r and "ValueError" in r["error"]
+    assert resp[-1]["record"] == "SYN000"
+    assert served == 1
+    assert not (tmp_path / "abs.npy").exists()
+    # nothing escaped into the parent of the predictions dir
+    pred_dir = os.path.join(exp_with_ckpt.dir_path, "predictions")
+    assert not os.path.exists(os.path.join(pred_dir, "..", "owned.npy"))
+
+
 def test_serve_lazy_calibrate(exp_with_ckpt):
     """A per-request {"calibrate": true} on a daemon started WITHOUT
     --calibrate computes the cohort range lazily (round-2 review fix) and

@@ -113,9 +113,44 @@ def test_multiframe_smoothing(tmp_path):
     np.testing.assert_allclose(s1 * 100.0, [7, 8])
 
 
+def test_fmt310_packed_10bit(tmp_path):
+    # hand-packed golden bytes (WFDB signal(5) fmt 310): samples
+    # [100, -200, 300] then [-512 (sentinel), 1, 2] → LE 16-bit word pairs
+    # w0=(s0<<1)|(lo5(s2)<<11), w1=(s1<<1)|(hi5(s2)<<11), 10-bit two's compl.
+    dat = struct.pack("<4H", 24776, 20080, 5120, 2)
+    rec = w.rdrecord(_write_record(tmp_path, "s310", ["310"], dat, 6, 1))
+    got = rec.p_signal[:, 0]
+    np.testing.assert_allclose(got[:3], [1.0, -2.0, 3.0])
+    assert np.isnan(got[3])  # -512 sentinel
+    np.testing.assert_allclose(got[4:], [0.01, 0.02])
+
+
+def test_fmt311_packed_10bit(tmp_path):
+    # fmt 311: one LE 32-bit word = s0 | s1<<10 | s2<<20, same samples
+    dat = struct.pack("<2I", 315416676, 2098688)
+    rec = w.rdrecord(_write_record(tmp_path, "s311", ["311"], dat, 6, 1))
+    got = rec.p_signal[:, 0]
+    np.testing.assert_allclose(got[:3], [1.0, -2.0, 3.0])
+    assert np.isnan(got[3])
+    np.testing.assert_allclose(got[4:], [0.01, 0.02])
+
+
+def test_fmt310_311_roundtrip(tmp_path):
+    # writer↔reader round trip with a non-multiple-of-3 sample count
+    # (exercises the pack padding) on a 2-signal interleaved record
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-5.0, 5.0, size=(31, 2))
+    for fmt in ("310", "311"):
+        rec_path = str(tmp_path / f"rt{fmt}")
+        w.wrrecord(rec_path, 500.0, ["a", "b"], x, gain=100.0, fmt=fmt)
+        rec = w.rdrecord(rec_path)
+        assert rec.specs[0].fmt == fmt
+        np.testing.assert_allclose(rec.p_signal, x, atol=0.5 / 100.0 + 1e-9)
+
+
 def test_unsupported_format_clear_error(tmp_path):
-    rec = _write_record(tmp_path, "s310", ["310"], b"\x00" * 12, 2, 1)
-    with pytest.raises(ValueError, match="Unsupported WFDB format '310'"):
+    rec = _write_record(tmp_path, "s999", ["999"], b"\x00" * 12, 2, 1)
+    with pytest.raises(ValueError, match="Unsupported WFDB format '999'"):
         w.rdrecord(rec)
 
 
