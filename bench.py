@@ -151,7 +151,7 @@ def run_train(args):
 
     cfg = TrainConfig(
         compute_dtype=args.dtype, critic_fuse=args.fuse, remat=args.remat,
-        conv_backend=args.conv_backend,
+        conv_backend=args.conv_backend, critic_backend=args.critic_backend,
     )
     b = args.batch
     state = init_state(jax.random.key(0), IN_CHANNELS, cfg)
@@ -200,6 +200,7 @@ def run_train(args):
     _emit("wgan_train_throughput", sps, "segments/s/chip",
           tflops, batch=b, dtype=args.dtype, fuse=args.fuse, loop=args.loop,
           remat=args.remat, conv_backend=args.conv_backend,
+          critic_backend=args.critic_backend,
           ms_per_step=round(step_time * 1e3, 2),
           tflops_sustained=round(tflops, 1) if tflops else None,
           note="vs_baseline = TFLOPs sustained (XLA cost_analysis)")
@@ -432,6 +433,7 @@ def main(argv=None):
     ap.add_argument("--fuse", default="off", choices=["off", "2b", "3b"])
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--conv-backend", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--critic-backend", default="xla", choices=["xla", "fused"])
     ap.add_argument("--loop", default="epoch", choices=["step", "epoch"])
     ap.add_argument("--nb", type=int, default=8)
     ap.add_argument("--ckpts", type=int, default=32)

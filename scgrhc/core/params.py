@@ -119,6 +119,9 @@ class Params:
         # Generator conv-block backend: "xla" | "pallas" (fused
         # conv+IN+relu kernel — scgrhc.ops.pallas.conv_block, BENCH.md)
         self.conv_backend = d.get("conv_backend", "xla")
+        # Critic layer backend: "xla" | "fused" (second-order-capable
+        # fused Pallas layers — scgrhc.ops.pallas.critic_fused, BENCH.md)
+        self.critic_backend = d.get("critic_backend", "xla")
         # How many checkpoints to score per vmapped eval program in
         # 'test all' (weights stacked on a leading axis; 1 = serial)
         self.eval_stack = d.get("eval_stack", 8)

@@ -42,3 +42,30 @@ def get_channels(
     """
     indexes = [record.sig_name.index(name) for name in channel_names]
     return record.p_signal[start_idx:stop_idx, indexes]
+
+
+def read_record_digital(record_name: str, channel_names: list[str],
+                        processed_dir: str | None = None):
+    """Named channels of a record as int16 ADC + device-side calibration.
+
+    Returns ``(adc (L, C) int16, gain (C,) f32, baseline (C,) f32,
+    sentinel (C,) f32)`` or ``None`` when the record has no digital fast
+    path (scgrhc.io.wfdb.rdrecord_digital).  Serving uploads the int16
+    array (half the bytes of float32) and calibrates on device."""
+    from scgrhc.io.wfdb import rdrecord_digital, read_header
+
+    base = processed_dir if processed_dir is not None else paths.PROCESSED_DATA_PATH
+    path = os.path.join(base, record_name)
+    dig = rdrecord_digital(path)
+    if dig is None:
+        return None
+    d_signal, gains, baselines, sentinels = dig
+    _, _, _, specs = read_header(path + ".hea")
+    sig_names = [s.sig_name for s in specs]
+    idx = [sig_names.index(n) for n in channel_names]
+    return (
+        d_signal[:, idx],
+        gains[idx].astype(np.float32),
+        baselines[idx].astype(np.float32),
+        sentinels[idx].astype(np.float32),
+    )

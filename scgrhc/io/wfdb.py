@@ -308,6 +308,61 @@ def rdrecord(record_path: str) -> Record:
     )
 
 
+DIGITAL_FMTS = ("16", "61", "80", "160", "212", "310", "311")
+
+
+def rdrecord_digital(record_path: str):
+    """Read a record's DIGITAL (ADC) samples without host-side calibration.
+
+    Returns ``(d_signal (sig_len, n_sig) int16, gains, baselines,
+    sentinels)`` — the float64 per-signal calibration vectors and the
+    int sentinel ADC value per signal — or ``None`` when the record
+    cannot be represented this way (multi-frame signals, or formats
+    whose samples exceed int16: 8/24/32).
+
+    Purpose: host→device transfer of a whole record at 2 bytes/sample
+    (every supported format's samples fit int16), with the
+    ``(adc − baseline)/gain`` physical conversion and sentinel→NaN
+    mapping running ON DEVICE as part of the streaming-inference program
+    (scgrhc.parallel.stream.stream_infer ``calibration=``).  On this
+    machine's tunneled TPU the transfer is the serving bottleneck
+    (BENCH.md), so halving upload bytes halves steady-state latency.
+    """
+    hea_path = record_path + ".hea"
+    _, _, sig_len, specs = read_header(hea_path)
+    dirname = os.path.dirname(record_path)
+    if any(s.samps_per_frame != 1 for s in specs):
+        return None
+    if any(s.fmt not in DIGITAL_FMTS for s in specs):
+        return None
+
+    d_signal = np.empty((sig_len, len(specs)), dtype=np.int16)
+    groups: dict[str, list[int]] = {}
+    for idx, spec in enumerate(specs):
+        groups.setdefault(spec.file_name, []).append(idx)
+    for file_name, idxs in groups.items():
+        fmt = specs[idxs[0]].fmt
+        path = os.path.join(dirname, file_name)
+        raw = np.fromfile(path, dtype=np.uint8)
+        adc = _decode_stream(raw, fmt, path)
+        total = len(idxs) * sig_len
+        if adc.size < total:
+            raise ValueError(
+                f"{path}: .dat holds {adc.size} samples but header promises "
+                f"{total}"
+            )
+        frames = adc[:total].reshape(sig_len, len(idxs))
+        for col, sig_idx in enumerate(idxs):
+            d_signal[:, sig_idx] = frames[:, col].astype(np.int16)
+
+    gains = np.array([s.gain for s in specs], dtype=np.float64)
+    baselines = np.array([s.baseline for s in specs], dtype=np.float64)
+    sentinels = np.array(
+        [SENTINELS[s.fmt] for s in specs], dtype=np.float64
+    )
+    return d_signal, gains, baselines, sentinels
+
+
 def wrrecord(
     record_path: str,
     fs: float,

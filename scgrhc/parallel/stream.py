@@ -61,6 +61,22 @@ def _frame_norm(x, t: int, hop: int | None, backend: str = "jnp"):
     return ((w - lo) / (hi - lo + NORM_EPS)).astype(jnp.float32)
 
 
+@partial(jax.jit, static_argnames=("t", "hop", "backend"))
+def _calib_frame_norm(adc, gain, base, sentinel, t: int, hop: int | None,
+                      backend: str = "jnp"):
+    """int16 ADC record → calibrate + frame + normalize, one device program.
+
+    ``adc`` (C, L) int16 is the raw WFDB digital signal (2 bytes/sample
+    across the host↔device link — the serving bottleneck on this machine,
+    BENCH.md); the WFDB physical conversion ``(adc − baseline)/gain`` and
+    the sentinel→NaN mapping (scgrhc.io.wfdb sentinel parity) run on
+    device in f32 before the standard framing path."""
+    a = adc.astype(jnp.float32)
+    phys = (a - base[:, None]) / gain[:, None]
+    phys = jnp.where(a == sentinel[:, None], jnp.nan, phys)
+    return _frame_norm(phys, t, hop, backend)
+
+
 def stream_infer(
     g_params,
     record_scg,
@@ -70,10 +86,14 @@ def stream_infer(
     overlap: int = 0,
     rhc_minmax=None,
     norm_backend: str = "jnp",
+    calibration=None,
 ):
     """Predict the RHC waveform for one full record.
 
-    record_scg: (C, L) raw SCG channels.  Returns a (L',) waveform —
+    record_scg: (C, L) raw SCG channels — float32 physical units, or
+    int16 ADC samples when ``calibration=(gain, baseline, sentinel)``
+    per-channel vectors are given (half the upload bytes; the WFDB
+    physical conversion then runs on device).  Returns a (L',) waveform —
     normalized RHC, or denormalized when ``rhc_minmax=(min, max)`` is
     given (reference denorm: waveform_test.py:21-25).
 
@@ -84,15 +104,34 @@ def stream_infer(
     """
     t = segment_samples
     hop = t - overlap if overlap else t
-    x = jnp.asarray(record_scg, dtype=jnp.float32)
-    w = _frame_norm(x, t, hop if overlap else None, norm_backend)
+    if calibration is not None:
+        gain, base, sentinel = (
+            jnp.asarray(v, jnp.float32) for v in calibration
+        )
+        x = jnp.asarray(record_scg)  # int16: 2-byte H2D upload
+        w = _calib_frame_norm(
+            x, gain, base, sentinel, t, hop if overlap else None, norm_backend
+        )
+    else:
+        x = jnp.asarray(record_scg, dtype=jnp.float32)
+        w = _frame_norm(x, t, hop if overlap else None, norm_backend)
     n = w.shape[0]
     if n == 0:
         return np.zeros(0, dtype=np.float32)
 
     sharding = batch_sharding(mesh) if mesh is not None else None
     batch = max(1, min(batch, n))
-    preds = []
+    if rhc_minmax is not None:
+        lo, hi = (jnp.float32(v) for v in rhc_minmax)
+    else:
+        lo, hi = jnp.float32(0.0), jnp.float32(1.0)
+
+    # Pipelined dispatch: issue EVERY chunk's H2D + forward + denorm
+    # asynchronously first, then read back in order.  JAX's async runtime
+    # then overlaps chunk i's D2H with chunk i+1's staging and compute —
+    # the round-2 loop blocked on np.asarray per chunk, serializing
+    # transfer behind compute (and paying one tunnel round-trip each).
+    pending = []
     for s in range(0, n, batch):
         e = min(s + batch, n)
         chunk = w[s:e]
@@ -100,23 +139,28 @@ def stream_infer(
             chunk = jnp.pad(chunk, ((0, batch - (e - s)), (0, 0), (0, 0)))
         if sharding is not None:
             chunk = jax.device_put(chunk, sharding)
-        p = eval_windows(g_params, chunk)
-        preds.append(np.asarray(p[: e - s, 0, :]))
-    pred = np.concatenate(preds)  # (N, t)
+        pending.append((eval_windows_denorm(g_params, chunk, lo, hi), e - s))
+    preds = [np.asarray(p[:keep]) for p, keep in pending]
+    pred = np.concatenate(preds) if len(preds) > 1 else preds[0]  # (N, t)
 
     if overlap:
-        out = _blend(pred, hop, t)
-    else:
-        out = pred.reshape(-1)
-    if rhc_minmax is not None:
-        lo, hi = rhc_minmax
-        out = out * (hi - lo) + lo
-    return out
+        return _blend(pred, hop, t)
+    return pred.reshape(-1)
 
 
 @jax.jit
 def eval_windows(g_params, w):
     return generator.apply(g_params, w, train=False)
+
+
+@jax.jit
+def eval_windows_denorm(g_params, w, lo, hi):
+    """Forward + denormalization (reference denorm: waveform_test.py:21-25)
+    in ONE device program, returning (B, t) — folding the denorm on device
+    keeps the host loop dispatch-only and halves the readback when the
+    caller would otherwise slice channel 0 host-side."""
+    p = generator.apply(g_params, w, train=False)[:, 0, :]
+    return p * (hi - lo) + lo
 
 
 def _blend(pred: np.ndarray, hop: int, t: int) -> np.ndarray:

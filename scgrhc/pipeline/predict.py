@@ -23,7 +23,12 @@ from time import time
 import numpy as np
 
 from scgrhc.core.timelog import timelog
-from scgrhc.io.catalog import SAMPLE_FREQ, get_channels, read_record
+from scgrhc.io.catalog import (
+    SAMPLE_FREQ,
+    get_channels,
+    read_record,
+    read_record_digital,
+)
 from scgrhc.models import torch_compat
 from scgrhc.parallel.stream import stream_infer
 from scgrhc.train import checkpoint as ckpt_io
@@ -140,14 +145,29 @@ def run(
             )
         )
 
-    record = read_record(record_name)
-    scg = get_channels(record, params.in_channels, 0, record.sig_len)  # (L, C)
-
     t = params.segment_samples
     overlap = int(overlap_s * SAMPLE_FREQ)
+    dig = None if continuous else read_record_digital(
+        record_name, params.in_channels
+    )
     if continuous:
+        record = read_record(record_name)
+        scg = get_channels(record, params.in_channels, 0, record.sig_len)
         pred = _predict_continuous(g_params, scg, rhc_minmax)
+    elif dig is not None:
+        # int16 ADC upload + on-device calibration (scgrhc.parallel.stream)
+        adc, gain, base, sentinel = dig
+        pred = stream_infer(
+            g_params,
+            np.ascontiguousarray(adc.T),
+            segment_samples=t,
+            overlap=overlap,
+            rhc_minmax=rhc_minmax,
+            calibration=(gain, base, sentinel),
+        )
     else:
+        record = read_record(record_name)
+        scg = get_channels(record, params.in_channels, 0, record.sig_len)
         pred = stream_infer(
             g_params,
             scg.T.astype(np.float32),

@@ -40,7 +40,12 @@ from time import perf_counter, time
 import numpy as np
 
 from scgrhc.core.timelog import timelog
-from scgrhc.io.catalog import SAMPLE_FREQ, get_channels, read_record
+from scgrhc.io.catalog import (
+    SAMPLE_FREQ,
+    get_channels,
+    read_record,
+    read_record_digital,
+)
 from scgrhc.parallel.stream import stream_infer
 from scgrhc.pipeline.predict import (
     _predict_continuous,
@@ -69,8 +74,6 @@ def _handle(req: dict, ctx: dict) -> dict:
     name = req["record"]
     if not _valid_record_name(name):
         raise ValueError(f"invalid record name {name!r} (bare names only)")
-    record = read_record(name)
-    scg = get_channels(record, params.in_channels, 0, record.sig_len)
     overlap = int(float(req.get("overlap_s", 0.0)) * SAMPLE_FREQ)
     rhc_minmax = None
     if req.get("calibrate", ctx["calibrate"]):
@@ -78,9 +81,29 @@ def _handle(req: dict, ctx: dict) -> dict:
             ctx["rhc_minmax"] = cohort_rhc_minmax(params)
         rhc_minmax = ctx["rhc_minmax"]
 
-    if req.get("continuous", False):
+    continuous = req.get("continuous", False)
+    # digital fast path: upload int16 ADC (half the bytes — the tunnel
+    # transfer dominates steady-state latency, BENCH.md) and calibrate on
+    # device; falls back to the float path for records without one
+    dig = None if continuous else read_record_digital(name, params.in_channels)
+    if continuous or dig is None:
+        record = read_record(name)
+        scg = get_channels(record, params.in_channels, 0, record.sig_len)
+
+    if continuous:
         pred = _predict_continuous(ctx["g_params"], scg, rhc_minmax)
         mode = "continuous"
+    elif dig is not None:
+        adc, gain, base, sentinel = dig
+        pred = stream_infer(
+            ctx["g_params"],
+            np.ascontiguousarray(adc.T),
+            segment_samples=params.segment_samples,
+            overlap=overlap,
+            rhc_minmax=rhc_minmax,
+            calibration=(gain, base, sentinel),
+        )
+        mode = "windowed"
     else:
         pred = stream_infer(
             ctx["g_params"],

@@ -78,6 +78,11 @@ class TrainConfig(NamedTuple):
     # All three are per-sample identical math (convs/InstanceNorm never
     # cross the batch dim), so loss histories match across modes.
     critic_fuse: str = "off"
+    # Critic layer backend: "xla" | "fused" (second-order-capable fused
+    # Pallas layers in a channel-major flat layout —
+    # scgrhc.ops.pallas.critic_fused; the GP's input-gradient pass runs
+    # fused kernels, its params-gradient traversal an XLA reference vjp).
+    critic_backend: str = "xla"
 
     @classmethod
     def from_params(cls, params) -> "TrainConfig":
@@ -93,6 +98,7 @@ class TrainConfig(NamedTuple):
             critic_fuse=str(getattr(params, "critic_fuse", "off")),
             remat=bool(getattr(params, "remat", False)),
             conv_backend=str(getattr(params, "conv_backend", "xla")),
+            critic_backend=str(getattr(params, "critic_backend", "xla")),
         )
 
 
@@ -139,7 +145,7 @@ def _gp_norms(grads):
 
 
 def gradient_penalty_from_eps(d_params, scg, rhc, pred_rhc, eps, mask=None,
-                              remat: bool = False):
+                              remat: bool = False, backend: str = "xla"):
     """WGAN-GP (reference: waveform_train.py:249-286): per-sample uniform
     interpolation between real and predicted RHC, ∥∇_x D∥₂ penalized to 1.
     ``eps`` (B, 1, 1) is passed in so parity tests can pin it."""
@@ -148,7 +154,8 @@ def gradient_penalty_from_eps(d_params, scg, rhc, pred_rhc, eps, mask=None,
     def score_sum(z):
         # grad_outputs=ones ≡ grad of the sum of all patch scores
         return jnp.sum(
-            critic.apply(d_params, jnp.concatenate((scg, z), axis=1), remat)
+            critic.apply(d_params, jnp.concatenate((scg, z), axis=1), remat,
+                         backend)
         )
 
     grads = jax.grad(score_sum)(interp)
@@ -156,7 +163,7 @@ def gradient_penalty_from_eps(d_params, scg, rhc, pred_rhc, eps, mask=None,
 
 
 def _critic_terms(d_params, scg, rhc, pred_rhc, eps, fuse: str, mask=None,
-                  remat: bool = False):
+                  remat: bool = False, backend: str = "xla"):
     """(E[D(pred)], E[D(real)], GP) with the chosen forward batching.
 
     Convs and InstanceNorm never mix samples, so all three modes compute
@@ -168,7 +175,8 @@ def _critic_terms(d_params, scg, rhc, pred_rhc, eps, fuse: str, mask=None,
 
         def obj(z):
             x = jnp.concatenate((pred_rhc, rhc, z), axis=0)
-            v = critic.apply(d_params, jnp.concatenate((scg3, x), axis=1), remat)
+            v = critic.apply(d_params, jnp.concatenate((scg3, x), axis=1), remat,
+                             backend)
             vp, vr, vi = jnp.split(v, 3, axis=0)
             return jnp.sum(vi), (_masked_mean(vp, mask), _masked_mean(vr, mask))
 
@@ -187,18 +195,21 @@ def _critic_terms(d_params, scg, rhc, pred_rhc, eps, fuse: str, mask=None,
                 axis=0,
             ),
             remat,
+            backend,
         )
         vp, vr = jnp.split(v, 2, axis=0)
         pred_mean, real_mean = _masked_mean(vp, mask), _masked_mean(vr, mask)
         gp = gradient_penalty_from_eps(
-            d_params, scg, rhc, pred_rhc, eps, mask, remat
+            d_params, scg, rhc, pred_rhc, eps, mask, remat, backend
         )
     else:  # "off": the reference's three separate forwards
-        vp = critic.apply(d_params, jnp.concatenate((scg, pred_rhc), axis=1), remat)
-        vr = critic.apply(d_params, jnp.concatenate((scg, rhc), axis=1), remat)
+        vp = critic.apply(d_params, jnp.concatenate((scg, pred_rhc), axis=1),
+                          remat, backend)
+        vr = critic.apply(d_params, jnp.concatenate((scg, rhc), axis=1),
+                          remat, backend)
         pred_mean, real_mean = _masked_mean(vp, mask), _masked_mean(vr, mask)
         gp = gradient_penalty_from_eps(
-            d_params, scg, rhc, pred_rhc, eps, mask, remat
+            d_params, scg, rhc, pred_rhc, eps, mask, remat, backend
         )
     return pred_mean, real_mean, gp
 
@@ -220,7 +231,8 @@ def critic_loss(
         eps_rng, (rhc.shape[0], 1, 1), dtype=jnp.float32
     ).astype(rhc.dtype)
     pred_mean, real_mean, gp = _critic_terms(
-        d_params, scg, rhc, pred_rhc, eps, cfg.critic_fuse, mask, cfg.remat
+        d_params, scg, rhc, pred_rhc, eps, cfg.critic_fuse, mask, cfg.remat,
+        cfg.critic_backend,
     )
     loss = -real_mean + pred_mean + cfg.lambda_gp * gp
     return loss.astype(jnp.float32)
@@ -241,7 +253,10 @@ def generator_loss(
     # (waveform_train.py:376) — constant w.r.t. g_params.  With
     # fix_g_adversarial it scores the prediction (true conditional WGAN).
     adv_input = pred_rhc if cfg.fix_g_adversarial else rhc
-    pred_validity = critic.apply(d_params, jnp.concatenate((scg, adv_input), axis=1))
+    pred_validity = critic.apply(
+        d_params, jnp.concatenate((scg, adv_input), axis=1),
+        backend=cfg.critic_backend,
+    )
     sq = jnp.square((pred_rhc - rhc).astype(jnp.float32))
     if mask is None:
         mse = jnp.mean(sq)

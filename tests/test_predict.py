@@ -110,3 +110,67 @@ def test_predict_best_handshake(exp_with_ckpt):
     with open(os.path.join(exp_with_ckpt.dir_path, "checkpoint_best.txt"), "w") as f:
         f.write("checkpoint         003.checkpoint\npcc_r  0.5\n")
     assert predict.resolve_checkpoint(exp_with_ckpt, "best") == "003.checkpoint"
+
+
+def test_digital_stream_matches_physical(exp_with_ckpt):
+    """The int16-ADC upload + on-device calibration path produces the same
+    prediction as the float32 physical path (the predict stage and serve
+    prefer it: half the host→device bytes)."""
+    from scgrhc.io.catalog import (
+        get_channels, read_record, read_record_digital,
+    )
+    from scgrhc.parallel.stream import stream_infer
+
+    p = exp_with_ckpt
+    from scgrhc.pipeline.predict import load_generator_params, resolve_checkpoint
+
+    g = load_generator_params(p, resolve_checkpoint(p, "last"))
+
+    dig = read_record_digital("SYN000", p.in_channels)
+    assert dig is not None  # synthetic records are fmt 16, single-frame
+    adc, gain, base, sentinel = dig
+    assert adc.dtype == np.int16
+
+    record = read_record("SYN000")
+    scg = get_channels(record, p.in_channels, 0, record.sig_len)
+
+    want = stream_infer(g, scg.T.astype(np.float32), segment_samples=750)
+    got = stream_infer(
+        g, np.ascontiguousarray(adc.T), segment_samples=750,
+        calibration=(gain, base, sentinel),
+    )
+    # f32 on-device calibrate vs f64 host calibrate: tiny rounding only
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+    # calibration really is the WFDB physical conversion
+    phys_dev = (adc.astype(np.float32) - base) / gain
+    np.testing.assert_allclose(phys_dev, scg.astype(np.float32), atol=1e-5)
+
+
+def test_digital_sentinel_maps_to_nan_windows(tmp_path):
+    """A sentinel ADC sample yields NaN output in the affected window via
+    the device-side mapping, matching the physical path's NaN parity."""
+    from scgrhc.io import wfdb as w
+    from scgrhc.io.catalog import read_record_digital
+    from scgrhc.models import generator
+    from scgrhc.parallel.stream import stream_infer
+
+    t = 750
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1.0, 1.0, size=(3 * t, 2))
+    rec = str(tmp_path / "sent")
+    w.wrrecord(rec, 500.0, ["a", "b"], x, gain=100.0)
+    # inject a sentinel into window 1 of channel a
+    dat = np.fromfile(rec + ".dat", dtype="<i2").reshape(-1, 2)
+    dat[t + 5, 0] = -32768
+    dat.tofile(rec + ".dat")
+
+    dig = read_record_digital("sent", ["a", "b"], processed_dir=str(tmp_path))
+    adc, gain, base, sentinel = dig
+    g = generator.init(jax.random.key(0), 2)
+    out = stream_infer(
+        g, np.ascontiguousarray(adc.T), segment_samples=t,
+        calibration=(gain, base, sentinel),
+    )
+    assert np.isfinite(out[:t]).all() and np.isfinite(out[2 * t:]).all()
+    assert np.isnan(out[t: 2 * t]).any()
