@@ -152,7 +152,10 @@ def run_train(args):
     cfg = TrainConfig(
         compute_dtype=args.dtype, critic_fuse=args.fuse, remat=args.remat,
         conv_backend=args.conv_backend, critic_backend=args.critic_backend,
+        reuse_pred=args.reuse_pred,
     )
+    impl = None if args.rng_impl == "threefry" else args.rng_impl
+    loop_key = lambda i: jax.random.key(i, impl=impl)
     b = args.batch
     state = init_state(jax.random.key(0), IN_CHANNELS, cfg)
     rng = np.random.default_rng(0)
@@ -161,7 +164,7 @@ def run_train(args):
     rhc_all = jnp.asarray(rng.random((nseg, 1, T)), jnp.float32)
 
     step_flops = _flops_of(
-        train_step, state, scg_all[:b], rhc_all[:b], jax.random.key(1), cfg
+        train_step, state, scg_all[:b], rhc_all[:b], loop_key(1), cfg
     )
 
     if args.loop == "step":
@@ -170,7 +173,7 @@ def run_train(args):
 
         def fn():
             st, d, g = train_step(
-                holder["state"], scg_all[:b], rhc_all[:b], jax.random.key(2), cfg
+                holder["state"], scg_all[:b], rhc_all[:b], loop_key(2), cfg
             )
             holder["state"] = st
             return g
@@ -186,7 +189,7 @@ def run_train(args):
 
         def fn():
             st, d_hist, g_hist = train_epoch_gather(
-                holder["state"], scg_all, rhc_all, idx, jax.random.key(2), cfg
+                holder["state"], scg_all, rhc_all, idx, loop_key(2), cfg
             )
             holder["state"] = st
             return jnp.sum(g_hist)
@@ -200,7 +203,8 @@ def run_train(args):
     _emit("wgan_train_throughput", sps, "segments/s/chip",
           tflops, batch=b, dtype=args.dtype, fuse=args.fuse, loop=args.loop,
           remat=args.remat, conv_backend=args.conv_backend,
-          critic_backend=args.critic_backend,
+          critic_backend=args.critic_backend, rng_impl=args.rng_impl,
+          reuse_pred=args.reuse_pred,
           ms_per_step=round(step_time * 1e3, 2),
           tflops_sustained=round(tflops, 1) if tflops else None,
           note="vs_baseline = TFLOPs sustained (XLA cost_analysis)")
@@ -327,11 +331,28 @@ def run_stream(args):
         np.asarray(cp.apply_continuous(g, rec_d))
         dt = time.perf_counter() - t0
         label = "continuous"
+    elif args.adc:
+        # int16 ADC upload + on-device calibration (the serve/predict
+        # digital fast path): half the H2D bytes of the f32 path — the
+        # dominant cost through this machine's tunnel (BENCH.md roofline)
+        adc = np.clip(rec * 1000, -32767, 32767).astype(np.int16)
+        cal = (np.full(IN_CHANNELS, 1000.0, np.float32),
+               np.zeros(IN_CHANNELS, np.float32),
+               np.full(IN_CHANNELS, -32768.0, np.float32))
+        stream_infer(g, adc, segment_samples=T, calibration=cal)  # warm
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = stream_infer(g, adc, segment_samples=T, calibration=cal)
+        dt = (time.perf_counter() - t0) / reps
+        label = "windowed-adc"
     else:
         stream_infer(g, rec, segment_samples=T)  # warm
+        reps = 3
         t0 = time.perf_counter()
-        out = stream_infer(g, rec, segment_samples=T)
-        dt = time.perf_counter() - t0
+        for _ in range(reps):
+            out = stream_infer(g, rec, segment_samples=T)
+        dt = (time.perf_counter() - t0) / reps
         label = "windowed"
     xrt = (L / 500.0) / dt
     _emit("stream_infer_xrealtime", xrt, "x_realtime/chip", None,
@@ -434,6 +455,9 @@ def main(argv=None):
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--conv-backend", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--critic-backend", default="xla", choices=["xla", "fused"])
+    ap.add_argument("--rng-impl", default="threefry",
+                    choices=["threefry", "rbg", "unsafe_rbg"])
+    ap.add_argument("--reuse-pred", action="store_true")
     ap.add_argument("--loop", default="epoch", choices=["step", "epoch"])
     ap.add_argument("--nb", type=int, default=8)
     ap.add_argument("--ckpts", type=int, default=32)
@@ -441,6 +465,7 @@ def main(argv=None):
     ap.add_argument("--stack", type=int, default=8)
     ap.add_argument("--minutes", type=float, default=10.0)
     ap.add_argument("--continuous", action="store_true")
+    ap.add_argument("--adc", action="store_true")
     args = ap.parse_args(argv)
 
     import scgrhc

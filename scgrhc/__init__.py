@@ -49,6 +49,34 @@ def _host_fingerprint() -> str:
     return hashlib.sha256(basis.encode()).hexdigest()[:8]
 
 
+def _build_fingerprint() -> str:
+    """Short hash of the XLA build provenance in THIS process.
+
+    Same-host, same-platform processes can still emit incompatible CPU
+    AOT artifacts when a PJRT plugin ships its own XLA build: on this
+    machine, a plain ``JAX_PLATFORMS=cpu`` process compiles CPU code with
+    LLVM tuning features (``prefer-no-scatter/gather``) that the
+    axon-plugin-loaded process's loader rejects.  Keying by jax/jaxlib
+    versions plus the platform-selection provenance (env var AND config
+    value) keeps those populations in separate dirs; over-segmentation
+    only costs cache sharing, never correctness."""
+    import hashlib
+    import os
+
+    import jax
+    import jaxlib
+
+    basis = ":".join(
+        (
+            jax.__version__,
+            getattr(jaxlib, "__version__", "?"),
+            os.environ.get("JAX_PLATFORMS", ""),
+            str(getattr(jax.config, "jax_platforms", "") or ""),
+        )
+    )
+    return hashlib.sha256(basis.encode()).hexdigest()[:8]
+
+
 def _cache_dir_for(platform_name: str) -> str:
     import os
 
@@ -56,7 +84,7 @@ def _cache_dir_for(platform_name: str) -> str:
         os.path.expanduser("~"),
         ".cache",
         "scgrhc",
-        f"xla_cache_{platform_name}_{_host_fingerprint()}",
+        f"xla_cache_{platform_name}_{_host_fingerprint()}_{_build_fingerprint()}",
     )
 
 
@@ -85,13 +113,53 @@ def configure_compilation_cache():
     try:
         import jax
 
+        resolved = jax.default_backend()
+        env_first = os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip()
+        if (
+            not loc
+            and resolved == "cpu"
+            and env_first != "cpu"
+            and _pjrt_plugin_present()
+        ):
+            # A TPU PJRT plugin is loaded but the platform was forced to
+            # CPU via jax.config (the driver dryrun population): the
+            # process then holds TWO XLA builds, and measured on this
+            # machine it cannot reload even its OWN CPU AOT artifacts
+            # (the wheel's LLVM emits prefer-no-scatter/gather tuning
+            # features the plugin build's loader rejects).  No cache is
+            # better than a cache of unloadable-or-SIGILL artifacts.
+            return None
         if not loc:
-            loc = _cache_dir_for(jax.default_backend())
+            loc = _cache_dir_for(resolved)
         os.makedirs(loc, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", loc)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         return loc
     except Exception:
         return None  # cache is an optimization only
+
+
+def _pjrt_plugin_present() -> bool:
+    """True when any out-of-tree PJRT plugin is installed (jax_plugins
+    entry points or namespace package)."""
+    try:
+        from importlib.metadata import entry_points
+
+        if list(entry_points(group="jax_plugins")):
+            return True
+    except Exception:
+        pass
+    try:
+        import importlib.util
+        import os
+
+        if os.environ.get("PALLAS_AXON_POOL_IPS"):
+            return True  # this machine's tunneled-TPU plugin (sitecustomize)
+        return any(
+            importlib.util.find_spec(name) is not None
+            for name in ("jax_plugins", "axon")
+        )
+    except Exception:
+        return False
 
 from scgrhc.core import debug as _debug  # noqa: E402  (SCGRHC_DEBUG modes)

@@ -122,6 +122,17 @@ class Params:
         # Critic layer backend: "xla" | "fused" (second-order-capable
         # fused Pallas layers — scgrhc.ops.pallas.critic_fused, BENCH.md)
         self.critic_backend = d.get("critic_backend", "xla")
+        # Training-loop PRNG implementation: "threefry" (JAX default,
+        # reproducible across backends) | "rbg" (XLA-native generator —
+        # much cheaper dropout mask generation on TPU; a different,
+        # equally valid trajectory).  Weight init stays threefry.
+        self.rng_impl = d.get("rng_impl", "threefry")
+        # True computes G(scg) ONCE per step and scores it in every
+        # critic iteration, instead of the reference's fresh
+        # dropout-resampled generator forward per critic iteration
+        # (waveform_train.py:364-368) — saves (n_critic-1) generator
+        # forwards per step; a different dropout-stream trajectory.
+        self.reuse_pred = d.get("reuse_pred", False)
         # How many checkpoints to score per vmapped eval program in
         # 'test all' (weights stacked on a leading axis; 1 = serial)
         self.eval_stack = d.get("eval_stack", 8)

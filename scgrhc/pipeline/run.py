@@ -55,7 +55,15 @@ def dispatch(argv: list[str]) -> int:
         from scgrhc.utils.experiments import write_experiments
 
         root = argv[1] if len(argv) > 1 and not argv[1].startswith("--") else "."
-        jobs, overrides = 1, {}
+        # train_mode "step" (sweep-only default): the per-batch jitted
+        # step compiles once per (batch, channels) shape — 8 programs
+        # across all 32 configs — where the epoch-scan program bakes in
+        # each config's segment count, so nearly every config pays its
+        # own multi-minute remote compile (round-2 BENCH: 3h46m cold).
+        # Artifact-identical to epoch mode (test_step_and_epoch_modes);
+        # production 250-epoch runs should keep epoch mode (faster steady
+        # state, compile amortized) via --train-mode epoch.
+        jobs, overrides = 1, {"train_mode": "step"}
         rest = argv[2:] if root != "." or (len(argv) > 1 and argv[1] == ".") else argv[1:]
         i = 0
         while i < len(rest):
@@ -65,6 +73,8 @@ def dispatch(argv: list[str]) -> int:
                 overrides["total_epochs"] = int(rest[i + 1]); i += 2
             elif rest[i] == "--seed":
                 overrides["seed"] = int(rest[i + 1]); i += 2
+            elif rest[i] == "--train-mode":
+                overrides["train_mode"] = rest[i + 1]; i += 2
             else:
                 raise SystemExit(f"unknown sweep flag {rest[i]}")
         dirs = write_experiments(root, **overrides)

@@ -79,7 +79,10 @@ def run(params, plot: bool = True) -> None:
 
     g_loss_total = sum(g_losses)
     d_loss_total = sum(d_losses)
-    rng = jax.random.key((params.seed << 16) ^ 0x5C6)
+    # loop key (dropout / GP eps / shuffles): opt-in XLA-native "rbg"
+    # generator cuts the per-step threefry mask cost on TPU (BENCH.md);
+    # weight init above stays threefry for cross-backend reproducibility
+    rng = _loop_key(params.seed, getattr(params, "rng_impl", "threefry"))
     n_batches = len(train_loader)
 
     with trace("train"):
@@ -88,6 +91,15 @@ def run(params, plot: bool = True) -> None:
             g_losses, d_losses, g_loss_total, d_loss_total, start_time,
             n_batches, plot,
         )
+
+
+def _loop_key(seed: int, impl: str):
+    """Training-loop PRNG key.  "threefry" (the documented default) maps to
+    jax's own default impl ("threefry2x32" today); "rbg"/"unsafe_rbg" are
+    the XLA-native generators (params.rng_impl, BENCH.md)."""
+    return jax.random.key(
+        (seed << 16) ^ 0x5C6, impl=None if impl == "threefry" else impl
+    )
 
 
 def _pad_idx_mask(idx: np.ndarray, n_dev: int):

@@ -83,6 +83,12 @@ class TrainConfig(NamedTuple):
     # scgrhc.ops.pallas.critic_fused; the GP's input-gradient pass runs
     # fused kernels, its params-gradient traversal an XLA reference vjp).
     critic_backend: str = "xla"
+    # True scores ONE shared G(scg) prediction in every critic iteration
+    # instead of the reference's fresh dropout-resampled forward per
+    # iteration (waveform_train.py:364-368): saves (n_critic-1) generator
+    # forwards per step — the generator side is ~60% of the measured step
+    # (BENCH.md).  A different (equally valid) dropout-stream trajectory.
+    reuse_pred: bool = False
 
     @classmethod
     def from_params(cls, params) -> "TrainConfig":
@@ -99,6 +105,7 @@ class TrainConfig(NamedTuple):
             remat=bool(getattr(params, "remat", False)),
             conv_backend=str(getattr(params, "conv_backend", "xla")),
             critic_backend=str(getattr(params, "critic_backend", "xla")),
+            reuse_pred=bool(getattr(params, "reuse_pred", False)),
         )
 
 
@@ -214,18 +221,29 @@ def _critic_terms(d_params, scg, rhc, pred_rhc, eps, fuse: str, mask=None,
     return pred_mean, real_mean, gp
 
 
-def critic_loss(
-    d_params, g_params, scg, rhc, drop_rng, eps_rng, cfg: TrainConfig, mask=None
-):
+def _train_pred(g_params, scg, drop_rng, cfg: TrainConfig):
+    """One train-mode generator forward in the configured compute dtype."""
     dt = jnp.dtype(cfg.compute_dtype)
     if dt != jnp.dtype(jnp.float32):
-        # master weights stay f32 outside; grads return f32 via the cast
-        d_params, g_params = _cast_tree((d_params, g_params), dt)
-        scg, rhc = scg.astype(dt), rhc.astype(dt)
-    pred_rhc = generator.apply(
+        g_params = _cast_tree(g_params, dt)
+        scg = scg.astype(dt)
+    return generator.apply(
         g_params, scg, rng=drop_rng, train=True, remat=cfg.remat,
         conv_backend=cfg.conv_backend,
     )
+
+
+def critic_loss(
+    d_params, g_params, scg, rhc, drop_rng, eps_rng, cfg: TrainConfig,
+    mask=None, pred_rhc=None,
+):
+    dt = jnp.dtype(cfg.compute_dtype)
+    if pred_rhc is None:  # fresh dropout-resampled forward (reference)
+        pred_rhc = _train_pred(g_params, scg, drop_rng, cfg)
+    if dt != jnp.dtype(jnp.float32):
+        # master weights stay f32 outside; grads return f32 via the cast
+        d_params = _cast_tree(d_params, dt)
+        scg, rhc = scg.astype(dt), rhc.astype(dt)
     # eps drawn in f32 so the stream is identical across compute dtypes
     eps = jax.random.uniform(
         eps_rng, (rhc.shape[0], 1, 1), dtype=jnp.float32
@@ -276,10 +294,17 @@ def _train_step_impl(state: TrainState, scg, rhc, rng, cfg: TrainConfig, mask=No
     g_params, d_params, g_opt, d_opt = state
     d_losses = []
     keys = jax.random.split(rng, 2 * cfg.n_critic + 1)
+    # reuse_pred: one shared prediction (constant w.r.t. d_params) scored
+    # by every critic iteration; default recomputes per iteration like the
+    # reference (fresh dropout each time, waveform_train.py:364-368)
+    pred_shared = (
+        _train_pred(g_params, scg, keys[0], cfg) if cfg.reuse_pred else None
+    )
 
     for i in range(cfg.n_critic):  # static unroll
         d_loss, d_grads = jax.value_and_grad(critic_loss)(
-            d_params, g_params, scg, rhc, keys[2 * i], keys[2 * i + 1], cfg, mask
+            d_params, g_params, scg, rhc, keys[2 * i], keys[2 * i + 1], cfg,
+            mask, pred_shared,
         )
         updates, d_opt = opt.update(d_grads, d_opt, d_params)
         d_params = optax.apply_updates(d_params, updates)

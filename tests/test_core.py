@@ -171,9 +171,27 @@ def test_compilation_cache_keyed_by_platform_and_host():
     tpu_dir = scgrhc._cache_dir_for("tpu")
     assert cpu_dir != tpu_dir  # platform in the key
     fp = scgrhc._host_fingerprint()
+    bfp = scgrhc._build_fingerprint()
     assert re.fullmatch(r"[0-9a-f]{8}", fp)
-    assert cpu_dir.endswith(f"xla_cache_cpu_{fp}")
+    assert re.fullmatch(r"[0-9a-f]{8}", bfp)
+    assert cpu_dir.endswith(f"xla_cache_cpu_{fp}_{bfp}")
     assert scgrhc._host_fingerprint() == fp  # stable within a host
+
+    # platform-selection provenance is part of the key: a process whose
+    # JAX_PLATFORMS env differs (different XLA build populations on this
+    # machine) must not share AOT artifacts
+    import os
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import scgrhc; print(scgrhc._build_fingerprint())"],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "zzz_other"},
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() != bfp
 
     # the live config (set by conftest AFTER forcing the cpu platform)
     # points at the resolved-backend dir, not the env-var one

@@ -531,3 +531,49 @@ def test_pallas_conv_backend_step_matches_xla(tiny_setup):
         ),
         s1.g_params, s2.g_params,
     )
+
+
+def test_reuse_pred_and_rng_impl_run(tiny_setup):
+    """Opt-in reuse_pred (one shared G forward per step) and the rbg loop
+    RNG produce finite losses and genuinely different trajectories from
+    the reference-semantics default (fresh dropout per critic iter)."""
+    cfg, state, scg, rhc = tiny_setup
+    cfg = cfg._replace(n_critic=2)
+    k = jax.random.key(11)
+    _, d0, g0 = train_step(_clone(state), scg, rhc, k, cfg)
+    _, d1, g1 = train_step(
+        _clone(state), scg, rhc, k, cfg._replace(reuse_pred=True)
+    )
+    assert np.isfinite(np.asarray(d1)).all() and np.isfinite(float(g1))
+    # different dropout stream -> different (valid) trajectory
+    assert not np.allclose(np.asarray(d0), np.asarray(d1))
+
+    k_rbg = jax.random.key(11, impl="rbg")
+    _, d2, g2 = train_step(_clone(state), scg, rhc, k_rbg, cfg)
+    assert np.isfinite(np.asarray(d2)).all() and np.isfinite(float(g2))
+
+
+def test_params_rng_impl_reuse_pred_keys(tmp_path):
+    import json
+
+    from scgrhc.core.params import Params
+
+    cfg = json.load(open("/root/reference/waveform_06/params.json"))
+    cfg.update(dir_path=str(tmp_path), rng_impl="rbg", reuse_pred=True)
+    p = tmp_path / "params.json"
+    p.write_text(json.dumps(cfg))
+    pp = Params(str(p))
+    assert pp.rng_impl == "rbg" and pp.reuse_pred is True
+    assert TrainConfig.from_params(pp).reuse_pred is True
+
+
+def test_loop_key_impl_mapping():
+    """'threefry' (the documented params.rng_impl default) must map to
+    jax's default key impl — jax's own registry spells it 'threefry2x32',
+    and passing the alias verbatim crashes the train stage (regression)."""
+    from scgrhc.train.run import _loop_key
+
+    k_def = _loop_key(3, "threefry")
+    assert "fry" in str(k_def.dtype)
+    k_rbg = _loop_key(3, "rbg")
+    assert "rbg" in str(k_rbg.dtype)
