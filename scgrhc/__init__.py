@@ -114,20 +114,20 @@ def configure_compilation_cache():
         import jax
 
         resolved = jax.default_backend()
-        env_first = os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip()
-        if (
-            not loc
-            and resolved == "cpu"
-            and env_first != "cpu"
-            and _pjrt_plugin_present()
-        ):
-            # A TPU PJRT plugin is loaded but the platform was forced to
-            # CPU via jax.config (the driver dryrun population): the
+        if not loc and resolved == "cpu" and _pjrt_plugin_present():
+            # A TPU PJRT plugin is installed and the process resolves to
+            # the CPU backend (the driver dryrun and the test suite): the
             # process then holds TWO XLA builds, and measured on this
-            # machine it cannot reload even its OWN CPU AOT artifacts
-            # (the wheel's LLVM emits prefer-no-scatter/gather tuning
-            # features the plugin build's loader rejects).  No cache is
-            # better than a cache of unloadable-or-SIGILL artifacts.
+            # machine it cannot reload even its OWN CPU AOT artifacts —
+            # the wheel's LLVM emits prefer-no-scatter/gather tuning
+            # features the plugin build's loader rejects
+            # (cpu_aot_loader "could lead to SIGILL" spew, and every
+            # cache load falls back to a fresh compile anyway).  This
+            # holds regardless of HOW cpu was selected (env var or
+            # jax.config) because the plugin's sitecustomize import
+            # happens either way.  No cache is better than a cache of
+            # unloadable-or-SIGILL artifacts; plugin-free CPU machines
+            # (CI) keep the persistent cache.
             return None
         if not loc:
             loc = _cache_dir_for(resolved)

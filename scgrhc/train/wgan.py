@@ -222,10 +222,14 @@ def _critic_terms(d_params, scg, rhc, pred_rhc, eps, fuse: str, mask=None,
 
 
 def _train_pred(g_params, scg, drop_rng, cfg: TrainConfig):
-    """One train-mode generator forward in the configured compute dtype."""
+    """One train-mode generator forward in the configured compute dtype.
+
+    Under bf16, ``generator.cast_params`` leaves the final 1×1 conv in
+    f32, so the returned prediction is full-precision (the critic casts
+    it down at its own boundary; the G MSE term keeps the f32 value)."""
     dt = jnp.dtype(cfg.compute_dtype)
     if dt != jnp.dtype(jnp.float32):
-        g_params = _cast_tree(g_params, dt)
+        g_params = generator.cast_params(g_params, dt)
         scg = scg.astype(dt)
     return generator.apply(
         g_params, scg, rng=drop_rng, train=True, remat=cfg.remat,
@@ -241,9 +245,12 @@ def critic_loss(
     if pred_rhc is None:  # fresh dropout-resampled forward (reference)
         pred_rhc = _train_pred(g_params, scg, drop_rng, cfg)
     if dt != jnp.dtype(jnp.float32):
-        # master weights stay f32 outside; grads return f32 via the cast
+        # master weights stay f32 outside; grads return f32 via the cast.
+        # pred arrives f32 from the generator's f32 epilogue — the critic
+        # boundary casts it down like the other inputs.
         d_params = _cast_tree(d_params, dt)
         scg, rhc = scg.astype(dt), rhc.astype(dt)
+        pred_rhc = pred_rhc.astype(dt)
     # eps drawn in f32 so the stream is identical across compute dtypes
     eps = jax.random.uniform(
         eps_rng, (rhc.shape[0], 1, 1), dtype=jnp.float32
@@ -261,7 +268,8 @@ def generator_loss(
 ):
     dt = jnp.dtype(cfg.compute_dtype)
     if dt != jnp.dtype(jnp.float32):
-        d_params, g_params = _cast_tree((d_params, g_params), dt)
+        d_params = _cast_tree(d_params, dt)
+        g_params = generator.cast_params(g_params, dt)  # f32 epilogue kept
         scg, rhc = scg.astype(dt), rhc.astype(dt)
     pred_rhc = generator.apply(
         g_params, scg, rng=drop_rng, train=True, remat=cfg.remat,
@@ -270,7 +278,8 @@ def generator_loss(
     # Reference quirk (default): adversarial term scores the REAL rhc
     # (waveform_train.py:376) — constant w.r.t. g_params.  With
     # fix_g_adversarial it scores the prediction (true conditional WGAN).
-    adv_input = pred_rhc if cfg.fix_g_adversarial else rhc
+    # The critic boundary casts the f32-epilogue prediction down to dt.
+    adv_input = pred_rhc.astype(dt) if cfg.fix_g_adversarial else rhc
     pred_validity = critic.apply(
         d_params, jnp.concatenate((scg, adv_input), axis=1),
         backend=cfg.critic_backend,
@@ -296,9 +305,13 @@ def _train_step_impl(state: TrainState, scg, rhc, rng, cfg: TrainConfig, mask=No
     keys = jax.random.split(rng, 2 * cfg.n_critic + 1)
     # reuse_pred: one shared prediction (constant w.r.t. d_params) scored
     # by every critic iteration; default recomputes per iteration like the
-    # reference (fresh dropout each time, waveform_train.py:364-368)
+    # reference (fresh dropout each time, waveform_train.py:364-368).
+    # Deliberately keyed with the SAME dropout key as the generator update
+    # (keys[-1]): the G-loss primal forward is then an identical
+    # subcomputation and XLA's CSE collapses the two, so the whole step
+    # runs n_critic fewer generator forwards than the reference step.
     pred_shared = (
-        _train_pred(g_params, scg, keys[0], cfg) if cfg.reuse_pred else None
+        _train_pred(g_params, scg, keys[-1], cfg) if cfg.reuse_pred else None
     )
 
     for i in range(cfg.n_critic):  # static unroll

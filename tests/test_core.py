@@ -193,11 +193,17 @@ def test_compilation_cache_keyed_by_platform_and_host():
     assert out.returncode == 0, out.stderr
     assert out.stdout.strip() != bfp
 
-    # the live config (set by conftest AFTER forcing the cpu platform)
-    # points at the resolved-backend dir, not the env-var one
+    # the live config: on a plugin-free machine the cache points at the
+    # resolved-backend dir; with a TPU PJRT plugin installed and CPU
+    # resolved (this machine's test population) the persistent cache is
+    # DISABLED — measured: that mixed-build process cannot reload even
+    # its own CPU AOT artifacts (cpu_aot_loader feature mismatch)
     loc = scgrhc.configure_compilation_cache()
-    assert loc == scgrhc._cache_dir_for(jax.default_backend())
-    assert jax.config.jax_compilation_cache_dir == loc
+    if scgrhc._pjrt_plugin_present() and jax.default_backend() == "cpu":
+        assert loc is None
+    else:
+        assert loc == scgrhc._cache_dir_for(jax.default_backend())
+        assert jax.config.jax_compilation_cache_dir == loc
 
 
 def test_unseeded_requires_distributed_init_first(tmp_path, monkeypatch):
