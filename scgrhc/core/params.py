@@ -136,6 +136,17 @@ class Params:
         # How many checkpoints to score per vmapped eval program in
         # 'test all' (weights stacked on a leading axis; 1 = serial)
         self.eval_stack = d.get("eval_stack", 8)
+        # True pads the epoch scan's batch-row count and the HBM store's
+        # segment count up to power-of-two buckets (and the remainder
+        # batch up to a full batch_size with masked rows), so the train
+        # programs' shapes depend only on (channels, batch_size) — not on
+        # the dataset's size.  Sweeps then share XLA cache entries across
+        # chambers instead of recompiling per config (BENCH.md).  The
+        # scanned batches' trajectory is identical (prefix-stable keys +
+        # cond-skipped pad rows); the tail batch draws full-batch-shaped
+        # dropout/eps, a different — equally valid — trajectory (same
+        # caveat as multi-chip divisibility padding).
+        self.shape_bucket = d.get("shape_bucket", False)
         # "native" = scgrhc dict loader files; "torch" = genuine pickled
         # torch DataLoader objects, byte-compatible with the reference's
         # artifacts (recordutil.py:202-209) — both remain readable by

@@ -163,25 +163,41 @@ class SegmentStore:
 
     # -- device residency ----------------------------------------------------
 
-    def device_arrays(self, sharding=None):
+    def device_arrays(self, sharding=None, pad_to: int | None = None):
         """(scg, rhc) as jax arrays, cached so the host→HBM copy happens once.
 
         With ``sharding`` (e.g. replicated over a DP mesh) the arrays are
         placed once under that sharding and reused every epoch — the
         multi-chip training path gathers batches from this resident copy
-        instead of re-staging the shuffled epoch host→device."""
-        key = ("scg", None) if sharding is None else ("scg", sharding)
+        instead of re-staging the shuffled epoch host→device.
+
+        ``pad_to`` zero-pads the segment axis up to that row count
+        (``shape_bucket``): gather indices only ever touch real rows, so
+        results are unchanged, but the XLA program signature stops
+        depending on the exact dataset size."""
+        if pad_to is not None and pad_to < len(self.scg):
+            raise ValueError(f"pad_to={pad_to} < {len(self.scg)} segments")
+        key = ("scg", None if sharding is None else sharding, pad_to)
         if key not in self._device_cache:
             import jax
             import jax.numpy as jnp
 
+            scg_np, rhc_np = self.scg, self.rhc
+            if pad_to is not None and pad_to > len(scg_np):
+                pad = pad_to - len(scg_np)
+                scg_np = np.concatenate(
+                    [scg_np, np.zeros((pad, *scg_np.shape[1:]), scg_np.dtype)]
+                )
+                rhc_np = np.concatenate(
+                    [rhc_np, np.zeros((pad, *rhc_np.shape[1:]), rhc_np.dtype)]
+                )
             if sharding is None:
-                scg, rhc = jnp.asarray(self.scg), jnp.asarray(self.rhc)
+                scg, rhc = jnp.asarray(scg_np), jnp.asarray(rhc_np)
             else:
                 from scgrhc.parallel.mesh import place_global
 
-                scg = place_global(self.scg, sharding)
-                rhc = place_global(self.rhc, sharding)
+                scg = place_global(scg_np, sharding)
+                rhc = place_global(rhc_np, sharding)
             self._device_cache[key] = (scg, rhc)
         return self._device_cache[key]
 

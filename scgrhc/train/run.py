@@ -118,7 +118,14 @@ def _pad_idx_mask(idx: np.ndarray, n_dev: int):
     )
 
 
-def _dp_gather_place(state, store, idx: np.ndarray):
+def _bucket_cap(n: int) -> int:
+    """Next power of two ≥ n — the ``shape_bucket`` size policy.  Every
+    dataset size in an octave shares one XLA program (and one remote
+    compile) instead of one per exact size."""
+    return 1 << max(0, (n - 1).bit_length())
+
+
+def _dp_gather_place(state, store, idx: np.ndarray, pad_to=None):
     """Multi-chip DP with zero per-epoch staging: the dense store is
     replicated into every chip's HBM once (cached on the store), the train
     state is replicated, and each scanned batch is gathered on-device with
@@ -142,25 +149,40 @@ def _dp_gather_place(state, store, idx: np.ndarray):
         if mask_np is not None
         else None
     )
-    scg_all, rhc_all = store.device_arrays(sharding=replicated(mesh))
+    scg_all, rhc_all = store.device_arrays(
+        sharding=replicated(mesh), pad_to=pad_to
+    )
     idx = place_global(idx, NamedSharding(mesh, P(None, axis)))
     return replicate(mesh, state), scg_all, rhc_all, idx, mask
 
 
-def _dp_place_tail(scg_t: np.ndarray, rhc_t: np.ndarray):
+def _dp_place_tail(scg_t: np.ndarray, rhc_t: np.ndarray, base_mask=None):
     """Pad + place ONE host-resident batch across the mesh (the tail batch
     of epoch mode; scanned batches go through :func:`_dp_gather_place`).
     Shares the pad+mask invariant with the gather path via
-    :func:`_pad_idx_mask`.  Returns (scg, rhc, mask, mesh)."""
+    :func:`_pad_idx_mask`.  ``base_mask`` (len(scg_t),) carries rows
+    already masked upstream (``shape_bucket``'s pad-to-full-batch) so the
+    two paddings compose.  Returns (scg, rhc, mask, mesh)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from scgrhc.parallel.mesh import make_mesh, place_global
 
     mesh = make_mesh()
     axis = mesh.axis_names[0]
-    tail_idx, mask_np = _pad_idx_mask(
+    tail_idx, pad_mask = _pad_idx_mask(
         np.arange(scg_t.shape[0], dtype=np.int32), mesh.devices.size
     )
+    mask_np = None
+    if base_mask is not None or pad_mask is not None:
+        m = (
+            base_mask
+            if base_mask is not None
+            else np.ones(scg_t.shape[0], np.float32)
+        )
+        m = m[tail_idx]  # mesh-pad rows gather row 0's flag ...
+        if pad_mask is not None:
+            m = m * pad_mask  # ... then get zeroed here
+        mask_np = m
     batch_sh = NamedSharding(mesh, P(axis))
     mask = place_global(mask_np, batch_sh) if mask_np is not None else None
     return (
@@ -210,23 +232,39 @@ def _run_epoch_scan_mode(params, cfg, state, train_loader, epoch_rng, epoch):
     tail_rng = jax.random.split(epoch_rng, max(1, n_batches))[-1]
 
     use_dp = jax.device_count() > 1
+    # shape_bucket: decouple the compiled programs' shapes from the
+    # dataset size — scan rows and store rows pad to power-of-two
+    # buckets (cond-skipped / never gathered), the remainder batch pads
+    # to a full batch_size with masked rows.  Every chamber in the same
+    # size octave then reuses one XLA cache entry per (channels, batch).
+    bucket = bool(getattr(params, "shape_bucket", False))
+    pad_to = _bucket_cap(len(store)) if bucket else None
 
     out = []
     if nb:
         idx = order[: nb * bs].reshape(nb, bs).astype(np.int32)
         mask = None
+        row_valid = None
+        if bucket:
+            cap = _bucket_cap(nb)
+            idx = np.concatenate([idx, np.zeros((cap - nb, bs), np.int32)])
+            rv = np.zeros(cap, bool)
+            rv[:nb] = True
+            # passed even when cap == nb so the program shape is uniform
+            # across datasets in the octave
+            row_valid = jnp.asarray(rv)
         if use_dp:
             state, scg_all, rhc_all, idx, mask = _dp_gather_place(
-                state, store, idx
+                state, store, idx, pad_to
             )
         else:
             # single chip: the store lives in HBM once; only the epoch's
             # (nb, B) permutation crosses host→device
-            scg_all, rhc_all = store.device_arrays()
+            scg_all, rhc_all = store.device_arrays(pad_to=pad_to)
             idx = jnp.asarray(idx)
         with annotate("train_epoch"):
             state, d_hist, g_hist = train_epoch_gather(
-                state, scg_all, rhc_all, idx, epoch_rng, cfg, mask
+                state, scg_all, rhc_all, idx, epoch_rng, cfg, mask, row_valid
             )
         d_hist = np.asarray(d_hist)
         g_hist = np.asarray(g_hist)
@@ -236,10 +274,25 @@ def _run_epoch_scan_mode(params, cfg, state, train_loader, epoch_rng, epoch):
         tail = order[nb * bs :]
         scg_t, rhc_t = store.scg[tail], store.rhc[tail]
         mask_t = None
+        base_mask = None
+        if bucket:
+            t = len(tail)
+            scg_t = np.concatenate(
+                [scg_t, np.zeros((bs - t, *scg_t.shape[1:]), scg_t.dtype)]
+            )
+            rhc_t = np.concatenate(
+                [rhc_t, np.zeros((bs - t, *rhc_t.shape[1:]), rhc_t.dtype)]
+            )
+            base_mask = np.concatenate(
+                [np.ones(t, np.float32), np.zeros(bs - t, np.float32)]
+            )
+            mask_t = jnp.asarray(base_mask)
         if use_dp:
             from scgrhc.parallel.mesh import replicate
 
-            scg_t, rhc_t, mask_t, mesh = _dp_place_tail(scg_t, rhc_t)
+            scg_t, rhc_t, mask_t, mesh = _dp_place_tail(
+                scg_t, rhc_t, base_mask
+            )
             if not nb:  # state not yet replicated by the scan path
                 state = replicate(mesh, state)
         with annotate("train_step"):

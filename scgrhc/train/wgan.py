@@ -362,7 +362,8 @@ def train_epoch(state: TrainState, scg_batches, rhc_batches, rng, cfg: TrainConf
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def train_epoch_gather(
-    state: TrainState, scg_all, rhc_all, order, rng, cfg: TrainConfig, mask=None
+    state: TrainState, scg_all, rhc_all, order, rng, cfg: TrainConfig,
+    mask=None, row_valid=None,
 ):
     """Epoch scan that gathers batches from the HBM-resident store.
 
@@ -376,15 +377,50 @@ def train_epoch_gather(
     axis, and (when B doesn't divide the mesh) pad ``order`` with dummy
     rows masked out by ``mask`` (B,) — each device then gathers only its
     local batch shard and GSPMD all-reduces the gradients over ICI.
+
+    ``row_valid`` (nb,) bool marks real vs padding batch rows
+    (``shape_bucket``): padded rows pass the state through untouched via
+    ``lax.cond`` (no compute, no optimizer update) and report zero
+    losses.  ``split`` is counter-based (prefix-stable), so real rows
+    draw the exact keys of the unpadded scan — trajectories identical.
     """
     keys = jax.random.split(rng, order.shape[0])
 
-    def body(st, xs):
-        idx, key = xs
+    def step(st, idx, key):
         st, d_losses, g_loss = _train_step_impl(
             st, scg_all[idx], rhc_all[idx], key, cfg, mask
         )
         return st, (d_losses, g_loss)
 
-    state, (d_hist, g_hist) = jax.lax.scan(body, state, (order, keys))
+    if row_valid is None:
+        def body(st, xs):
+            idx, key = xs
+            return step(st, idx, key)
+
+        xs = (order, keys)
+    else:
+        def real(st, idx, key):
+            # losses to f32 so both cond branches have identical avals
+            # (under bf16 compute some loss terms come back bf16)
+            st, (d, g) = step(st, idx, key)
+            return st, (d.astype(jnp.float32), g.astype(jnp.float32))
+
+        def body(st, xs):
+            idx, key, valid = xs
+            return jax.lax.cond(
+                valid,
+                lambda s: real(s, idx, key),
+                lambda s: (
+                    s,
+                    (
+                        jnp.zeros((cfg.n_critic,), jnp.float32),
+                        jnp.float32(0.0),
+                    ),
+                ),
+                st,
+            )
+
+        xs = (order, keys, row_valid)
+
+    state, (d_hist, g_hist) = jax.lax.scan(body, state, xs)
     return state, d_hist, g_hist

@@ -448,6 +448,95 @@ def test_step_and_epoch_modes_share_rng_stream(tiny_setup):
 
 
 @pytest.mark.slow
+def test_shape_bucket_matches_unbucketed(tiny_setup):
+    """``shape_bucket: true`` pads the scan's batch-row count, the HBM
+    store's segment count, and the remainder batch — but the observable
+    trajectory must match the unbucketed epoch scan: scanned batches via
+    prefix-stable keys + cond-skipped pad rows, the padded tail batch via
+    masked losses (pad rows contribute nothing to any term)."""
+    from types import SimpleNamespace
+
+    from scgrhc.data.loaders import SegmentLoader
+    from scgrhc.data.store import SegmentStore
+    from scgrhc.train.run import _run_epoch_scan_mode
+
+    cfg, state, _, _ = tiny_setup
+    cfg = cfg._replace(alpha=1e-6, n_critic=1)
+    rng = np.random.default_rng(3)
+    N = 7  # batch 2 → 3 full batches (row-bucket to 4) + a 1-row tail
+    store = SegmentStore(
+        rng.random((N, 1, T)).astype(np.float32),
+        rng.random((N, 1, T)).astype(np.float32),
+        [f"r{i}" for i in range(N)], np.zeros(N, np.int64),
+        np.zeros(N, np.int64), np.zeros((N, 2)), np.zeros((N, 2)),
+        segment_samples=T,
+    )
+    loader = SegmentLoader(store, 2, shuffle=True, seed=11)
+    epoch_rng = jax.random.key(42)
+
+    plain = _run_epoch_scan_mode(
+        None, cfg, _clone(state), loader, epoch_rng, 0
+    )
+    bucketed = _run_epoch_scan_mode(
+        SimpleNamespace(shape_bucket=True), cfg, _clone(state), loader,
+        epoch_rng, 0,
+    )
+
+    assert len(plain) == len(bucketed) == 4  # 3 scanned + 1 tail
+    for (_, pi, pd, pg), (_, bi, bd, bg) in zip(plain, bucketed):
+        assert pi == bi
+        np.testing.assert_allclose(pd, bd, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(pg, bg, rtol=1e-5, atol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        plain[-1][0].g_params, bucketed[-1][0].g_params,
+    )
+
+
+def test_shape_bucket_shares_programs_across_dataset_sizes(tiny_setup):
+    """The point of ``shape_bucket``: two datasets with different segment
+    counts in the same size octave must produce IDENTICAL train-program
+    signatures — one jit cache entry (and, on-chip, one ~minutes-long
+    remote XLA compile) instead of one per chamber (round-2 VERDICT #2)."""
+    from types import SimpleNamespace
+
+    from scgrhc.data.loaders import SegmentLoader
+    from scgrhc.data.store import SegmentStore
+    from scgrhc.train import wgan
+    from scgrhc.train.run import _run_epoch_scan_mode
+
+    cfg, _, _, _ = tiny_setup
+    cfg = cfg._replace(alpha=1e-6, n_critic=1)
+    t = 96  # short segments keep the two CPU compiles cheap
+    state = init_state(jax.random.key(0), 1, cfg)
+    rng = np.random.default_rng(4)
+
+    def run(n):
+        store = SegmentStore(
+            rng.random((n, 1, t)).astype(np.float32),
+            rng.random((n, 1, t)).astype(np.float32),
+            [f"r{i}" for i in range(n)], np.zeros(n, np.int64),
+            np.zeros(n, np.int64), np.zeros((n, 2)), np.zeros((n, 2)),
+            segment_samples=t,
+        )
+        loader = SegmentLoader(store, 2, shuffle=True, seed=11)
+        _run_epoch_scan_mode(
+            SimpleNamespace(shape_bucket=True), cfg, _clone(state), loader,
+            jax.random.key(7), 0,
+        )
+
+    # 6 and 8 segments: store rows bucket to 8, scan rows (3, 4) to 4,
+    # both tail-free — same octave, so the second run must re-use the
+    # first run's compiled epoch program
+    run(6)
+    base = wgan.train_epoch_gather._cache_size()
+    run(8)
+    assert wgan.train_epoch_gather._cache_size() == base
+
+
+@pytest.mark.slow
 def test_bf16_training_trajectory_tracks_f32(tiny_setup):
     """bf16 compute with f32 master weights (train_dtype='bfloat16') must
     track the f32 loss trajectory over multiple epochs — the gate for
