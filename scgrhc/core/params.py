@@ -82,6 +82,30 @@ class Params:
         self.min_RHC = d["min_RHC"]
         self.use_global_min_max = d["use_global_min_max"]
         # --- scgrhc extensions (optional, defaulted) ---
+        # "train_profile": "reference" (default — every knob at its
+        # reference-parity default) | "fast" (the measured-best TPU
+        # training bundle, BENCH.md round 3: bfloat16 compute with the
+        # f32 output epilogue, XLA-native rbg loop RNG, shared critic
+        # prediction, 2-batch critic fusion, dataset-size-independent
+        # program shapes).  Explicitly-set keys always win over the
+        # profile; "fast" trains a different — equally valid —
+        # trajectory than the reference (see the individual keys below).
+        profile = d.get("train_profile", "reference")
+        if profile not in ("reference", "fast"):
+            raise ValueError(
+                f"train_profile must be 'reference' or 'fast', got {profile!r}"
+            )
+        self.train_profile = profile
+        d = dict(d)  # profile defaults must not mutate the caller's dict
+        if profile == "fast":
+            for k, v in (
+                ("train_dtype", "bfloat16"),
+                ("rng_impl", "rbg"),
+                ("reuse_pred", True),
+                ("critic_fuse", "2b"),
+                ("shape_bucket", True),
+            ):
+                d.setdefault(k, v)
         # "seed": null reproduces the reference's unseeded behavior
         # (recordutil.py:191-192): a fresh random seed is drawn per run, so
         # splits/init/shuffles differ run to run like the reference's —

@@ -48,7 +48,7 @@ def dispatch(argv: list[str]) -> int:
         summary_main()
         return 0
     if cmd == "sweep":
-        # scgrhc sweep <root> [--jobs N] [--epochs E] — generate the
+        # scgrhc sweep <root> [--jobs N] [--epochs E] [--fast] — generate the
         # 32-config waveform_06..37 matrix under <root> (if absent) and run
         # every experiment, experiment-parallel across processes.
         from scgrhc.pipeline.sweep import run_sweep
@@ -75,6 +75,12 @@ def dispatch(argv: list[str]) -> int:
                 overrides["seed"] = int(rest[i + 1]); i += 2
             elif rest[i] == "--train-mode":
                 overrides["train_mode"] = rest[i + 1]; i += 2
+            elif rest[i] == "--fast":
+                # the measured-best TPU training bundle (core/params.py
+                # train_profile "fast"; BENCH.md round 3) applied to every
+                # generated config — incl. shape_bucket, which also
+                # dedups the step-mode tail program
+                overrides["train_profile"] = "fast"; i += 1
             else:
                 raise SystemExit(f"unknown sweep flag {rest[i]}")
         dirs = write_experiments(root, **overrides)

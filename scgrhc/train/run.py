@@ -204,10 +204,29 @@ def _run_epoch_step_mode(params, cfg, state, train_loader, epoch_rng, epoch):
     checkpoints)."""
     train_loader.set_epoch(epoch)
     keys = jax.random.split(epoch_rng, max(1, len(train_loader)))
+    bs = train_loader.batch_size
+    bucket = bool(getattr(params, "shape_bucket", False))
     for i, (scg, rhc) in enumerate(train_loader):
+        mask = None
+        if bucket and scg.shape[0] < bs:
+            # pad the remainder batch to the full batch_size with masked
+            # rows, so the step program's shape is dataset-independent
+            # (same policy as epoch mode's tail — shape_bucket)
+            pad = bs - scg.shape[0]
+            scg = np.concatenate(
+                [scg, np.zeros((pad, *scg.shape[1:]), scg.dtype)]
+            )
+            rhc = np.concatenate(
+                [rhc, np.zeros((pad, *rhc.shape[1:]), rhc.dtype)]
+            )
+            mask = jnp.asarray(
+                np.concatenate(
+                    [np.ones(bs - pad, np.float32), np.zeros(pad, np.float32)]
+                )
+            )
         with annotate("train_step"):
             state, d_step, g_loss = train_step(
-                state, jnp.asarray(scg), jnp.asarray(rhc), keys[i], cfg
+                state, jnp.asarray(scg), jnp.asarray(rhc), keys[i], cfg, mask
             )
         yield state, i, np.asarray(d_step).tolist(), float(g_loss)
 

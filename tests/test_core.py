@@ -157,6 +157,51 @@ def test_extension_keys_reach_train_config(tmp_path):
             tc2.conv_backend) == ("float32", "off", False, "xla")
 
 
+def test_train_profile_fast_bundle(tmp_path):
+    """"train_profile": "fast" expands to the measured-best TPU training
+    bundle (BENCH.md round 3); explicitly-set keys win over the profile;
+    unknown profiles fail loudly."""
+    import json
+
+    import pytest as _pytest
+
+    from scgrhc.core.params import Params
+    from scgrhc.train.wgan import TrainConfig
+
+    cfg = json.load(open("/root/reference/waveform_06/params.json"))
+    cfg.update(dir_path=str(tmp_path), train_profile="fast")
+    p = tmp_path / "params.json"
+    p.write_text(json.dumps(cfg))
+    params = Params(str(p))
+    tc = TrainConfig.from_params(params)
+    assert tc.compute_dtype == "bfloat16"
+    assert tc.critic_fuse == "2b"
+    assert tc.reuse_pred is True
+    assert params.rng_impl == "rbg"
+    assert params.shape_bucket is True
+    assert params.data["train_profile"] == "fast"  # caller dict unmutated
+    assert "train_dtype" not in params.data
+
+    # an explicit key beats the profile
+    cfg["critic_fuse"] = "off"
+    p.write_text(json.dumps(cfg))
+    assert TrainConfig.from_params(Params(str(p))).critic_fuse == "off"
+
+    cfg["train_profile"] = "warp"
+    p.write_text(json.dumps(cfg))
+    with _pytest.raises(ValueError):
+        Params(str(p))
+
+    # default profile leaves every knob at its reference-parity default
+    cfg2 = json.load(open("/root/reference/waveform_06/params.json"))
+    cfg2["dir_path"] = str(tmp_path)
+    p.write_text(json.dumps(cfg2))
+    params2 = Params(str(p))
+    assert params2.train_profile == "reference"
+    assert params2.shape_bucket is False
+    assert TrainConfig.from_params(params2).compute_dtype == "float32"
+
+
 def test_compilation_cache_keyed_by_platform_and_host():
     """The persistent XLA cache dir is keyed by RESOLVED backend + host CPU
     fingerprint (round-2 VERDICT weak #5: the env-var key let a CPU run

@@ -495,6 +495,55 @@ def test_shape_bucket_matches_unbucketed(tiny_setup):
     )
 
 
+@pytest.mark.slow
+def test_shape_bucket_step_mode_tail_matches(tiny_setup):
+    """In step mode (`train_mode: step`, the sweep default), shape_bucket
+    pads the remainder batch to a full batch_size with masked rows — the
+    losses must equal the unpadded tail's, and the tail then reuses the
+    full-batch compiled program instead of compiling its own shape."""
+    from types import SimpleNamespace
+
+    from scgrhc.data.loaders import SegmentLoader
+    from scgrhc.data.store import SegmentStore
+    from scgrhc.train import wgan
+    from scgrhc.train.run import _run_epoch_step_mode
+
+    cfg, _, _, _ = tiny_setup
+    cfg = cfg._replace(alpha=1e-6, n_critic=1)
+    t = 96
+    state = init_state(jax.random.key(0), 1, cfg)
+    rng = np.random.default_rng(9)
+    N = 5  # batch 2 → 2 full batches + 1-row tail
+    store = SegmentStore(
+        rng.random((N, 1, t)).astype(np.float32),
+        rng.random((N, 1, t)).astype(np.float32),
+        [f"r{i}" for i in range(N)], np.zeros(N, np.int64),
+        np.zeros(N, np.int64), np.zeros((N, 2)), np.zeros((N, 2)),
+        segment_samples=t,
+    )
+    loader = SegmentLoader(store, 2, shuffle=True, seed=11)
+    epoch_rng = jax.random.key(42)
+
+    plain = list(
+        _run_epoch_step_mode(None, cfg, _clone(state), loader, epoch_rng, 0)
+    )
+    base = wgan.train_step._cache_size()
+    bucketed = list(
+        _run_epoch_step_mode(
+            SimpleNamespace(shape_bucket=True), cfg, _clone(state), loader,
+            epoch_rng, 0,
+        )
+    )
+    assert len(plain) == len(bucketed) == 3
+    for (_, pi, pd, pg), (_, bi, bd, bg) in zip(plain, bucketed):
+        assert pi == bi
+        np.testing.assert_allclose(pd, bd, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(pg, bg, rtol=1e-5, atol=1e-6)
+    # the masked full-batch program differs from the maskless one (one
+    # compile), but the TAIL adds none on top — 1 new entry, not 2
+    assert wgan.train_step._cache_size() == base + 1
+
+
 def test_shape_bucket_shares_programs_across_dataset_sizes(tiny_setup):
     """The point of ``shape_bucket``: two datasets with different segment
     counts in the same size octave must produce IDENTICAL train-program
