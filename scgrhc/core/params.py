@@ -104,6 +104,7 @@ class Params:
                 ("reuse_pred", True),
                 ("critic_fuse", "2b"),
                 ("shape_bucket", True),
+                ("channel_bucket", True),
             ):
                 d.setdefault(k, v)
         # "seed": null reproduces the reference's unseeded behavior
@@ -171,6 +172,13 @@ class Params:
         # dropout/eps, a different — equally valid — trajectory (same
         # caveat as multi-chip divisibility padding).
         self.shape_bucket = d.get("shape_bucket", False)
+        # True zero-pads the SCG channel axis (data + first conv layers)
+        # to the sweep's maximum (4), so train/eval program shapes stop
+        # depending on the per-config channel subset — EXACTLY
+        # trajectory-identical (zero weights x zero inputs; checkpoints
+        # stay reference-layout at the true count).  See
+        # scgrhc.models.channel_pad.
+        self.channel_bucket = d.get("channel_bucket", False)
         # "native" = scgrhc dict loader files; "torch" = genuine pickled
         # torch DataLoader objects, byte-compatible with the reference's
         # artifacts (recordutil.py:202-209) — both remain readable by

@@ -163,7 +163,12 @@ class SegmentStore:
 
     # -- device residency ----------------------------------------------------
 
-    def device_arrays(self, sharding=None, pad_to: int | None = None):
+    def device_arrays(
+        self,
+        sharding=None,
+        pad_to: int | None = None,
+        pad_channels_to: int | None = None,
+    ):
         """(scg, rhc) as jax arrays, cached so the host→HBM copy happens once.
 
         With ``sharding`` (e.g. replicated over a DP mesh) the arrays are
@@ -174,15 +179,26 @@ class SegmentStore:
         ``pad_to`` zero-pads the segment axis up to that row count
         (``shape_bucket``): gather indices only ever touch real rows, so
         results are unchanged, but the XLA program signature stops
-        depending on the exact dataset size."""
+        depending on the exact dataset size.  ``pad_channels_to``
+        zero-pads the SCG channel axis (``channel_bucket``,
+        scgrhc.models.channel_pad): padded channels meet zero weight
+        columns, so results are exactly unchanged."""
         if pad_to is not None and pad_to < len(self.scg):
             raise ValueError(f"pad_to={pad_to} < {len(self.scg)} segments")
-        key = ("scg", None if sharding is None else sharding, pad_to)
+        key = ("scg", None if sharding is None else sharding, pad_to,
+               pad_channels_to)
         if key not in self._device_cache:
             import jax
             import jax.numpy as jnp
 
             scg_np, rhc_np = self.scg, self.rhc
+            if (
+                pad_channels_to is not None
+                and pad_channels_to > scg_np.shape[1]
+            ):
+                from scgrhc.models.channel_pad import pad_batch
+
+                scg_np = pad_batch(scg_np, pad_channels_to)
             if pad_to is not None and pad_to > len(scg_np):
                 pad = pad_to - len(scg_np)
                 scg_np = np.concatenate(

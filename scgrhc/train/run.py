@@ -77,6 +77,17 @@ def run(params, plot: bool = True) -> None:
             jax.random.key(params.seed), len(params.in_channels), cfg
         )
 
+    c_pad = _channel_pad_to(params)
+    if c_pad:
+        # channel_bucket: the in-HBM state is bucket-padded (program
+        # shapes stop depending on the channel subset); checkpoints are
+        # sliced back to the true count at every save (_train_loop), so
+        # artifacts keep the reference layout — and the padded columns
+        # provably never move (scgrhc.models.channel_pad).
+        from scgrhc.models import channel_pad
+
+        state = channel_pad.pad_state(state, len(params.in_channels), c_pad)
+
     g_loss_total = sum(g_losses)
     d_loss_total = sum(d_losses)
     # loop key (dropout / GP eps / shuffles): opt-in XLA-native "rbg"
@@ -118,6 +129,19 @@ def _pad_idx_mask(idx: np.ndarray, n_dev: int):
     )
 
 
+def _channel_pad_to(params):
+    """4 when ``channel_bucket`` applies (true SCG count below the
+    bucket), else None.  See scgrhc.models.channel_pad."""
+    from scgrhc.models.channel_pad import CHANNEL_BUCKET
+
+    if (
+        getattr(params, "channel_bucket", False)
+        and len(params.in_channels) < CHANNEL_BUCKET
+    ):
+        return CHANNEL_BUCKET
+    return None
+
+
 def _bucket_cap(n: int) -> int:
     """Next power of two ≥ n — the ``shape_bucket`` size policy.  Every
     dataset size in an octave shares one XLA program (and one remote
@@ -125,7 +149,9 @@ def _bucket_cap(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
-def _dp_gather_place(state, store, idx: np.ndarray, pad_to=None):
+def _dp_gather_place(
+    state, store, idx: np.ndarray, pad_to=None, pad_channels_to=None
+):
     """Multi-chip DP with zero per-epoch staging: the dense store is
     replicated into every chip's HBM once (cached on the store), the train
     state is replicated, and each scanned batch is gathered on-device with
@@ -150,7 +176,7 @@ def _dp_gather_place(state, store, idx: np.ndarray, pad_to=None):
         else None
     )
     scg_all, rhc_all = store.device_arrays(
-        sharding=replicated(mesh), pad_to=pad_to
+        sharding=replicated(mesh), pad_to=pad_to, pad_channels_to=pad_channels_to
     )
     idx = place_global(idx, NamedSharding(mesh, P(None, axis)))
     return replicate(mesh, state), scg_all, rhc_all, idx, mask
@@ -206,7 +232,12 @@ def _run_epoch_step_mode(params, cfg, state, train_loader, epoch_rng, epoch):
     keys = jax.random.split(epoch_rng, max(1, len(train_loader)))
     bs = train_loader.batch_size
     bucket = bool(getattr(params, "shape_bucket", False))
+    c_pad = _channel_pad_to(params)
     for i, (scg, rhc) in enumerate(train_loader):
+        if c_pad:
+            from scgrhc.models.channel_pad import pad_batch
+
+            scg = pad_batch(scg, c_pad)
         mask = None
         if bucket and scg.shape[0] < bs:
             # pad the remainder batch to the full batch_size with masked
@@ -258,6 +289,9 @@ def _run_epoch_scan_mode(params, cfg, state, train_loader, epoch_rng, epoch):
     # size octave then reuses one XLA cache entry per (channels, batch).
     bucket = bool(getattr(params, "shape_bucket", False))
     pad_to = _bucket_cap(len(store)) if bucket else None
+    # channel_bucket: the state is already bucket-padded (run());
+    # the store's SCG channel axis pads to match
+    c_pad = _channel_pad_to(params)
 
     out = []
     if nb:
@@ -274,12 +308,14 @@ def _run_epoch_scan_mode(params, cfg, state, train_loader, epoch_rng, epoch):
             row_valid = jnp.asarray(rv)
         if use_dp:
             state, scg_all, rhc_all, idx, mask = _dp_gather_place(
-                state, store, idx, pad_to
+                state, store, idx, pad_to, c_pad
             )
         else:
             # single chip: the store lives in HBM once; only the epoch's
             # (nb, B) permutation crosses host→device
-            scg_all, rhc_all = store.device_arrays(pad_to=pad_to)
+            scg_all, rhc_all = store.device_arrays(
+                pad_to=pad_to, pad_channels_to=c_pad
+            )
             idx = jnp.asarray(idx)
         with annotate("train_epoch"):
             state, d_hist, g_hist = train_epoch_gather(
@@ -292,6 +328,10 @@ def _run_epoch_scan_mode(params, cfg, state, train_loader, epoch_rng, epoch):
     if n % bs:
         tail = order[nb * bs :]
         scg_t, rhc_t = store.scg[tail], store.rhc[tail]
+        if c_pad:
+            from scgrhc.models.channel_pad import pad_batch
+
+            scg_t = pad_batch(scg_t, c_pad)
         mask_t = None
         base_mask = None
         if bucket:
@@ -329,6 +369,7 @@ def _train_loop(
     plot,
 ):
     mode = getattr(params, "train_mode", "epoch")
+    c_pad = _channel_pad_to(params)
     while epoch < total_epochs:
         rng, epoch_rng = jax.random.split(rng)
         if mode == "step":
@@ -366,6 +407,15 @@ def _train_loop(
         ckpt_path = os.path.join(
             params.checkpoint_dir_path, f"{epoch:03d}.checkpoint"
         )
+        save_state = state
+        if c_pad:
+            # checkpoints keep the reference layout at the TRUE channel
+            # count — strip the provably-zero bucket columns
+            from scgrhc.models import channel_pad
+
+            save_state = channel_pad.slice_state(
+                state, len(params.in_channels), c_pad
+            )
         if getattr(params, "checkpoint_backend", "reference") == "orbax":
             # async: the write overlaps the next epoch's compute; flushed
             # below before run() returns (eval reads right after).
@@ -374,7 +424,8 @@ def _train_loop(
             # the primary inside orbax_io).
             orbax_io.save(
                 ckpt_path, start_time=start_time, epoch=epoch,
-                g_losses=g_losses, d_losses=d_losses, state=state, block=False,
+                g_losses=g_losses, d_losses=d_losses, state=save_state,
+                block=False,
             )
         elif comm.is_primary():
             # single-writer discipline: on a multi-controller pod only
@@ -382,7 +433,8 @@ def _train_loop(
             # replicated state)
             ckpt_io.save(
                 ckpt_path, start_time=start_time, epoch=epoch,
-                g_losses=g_losses, d_losses=d_losses, state=state, cfg=cfg,
+                g_losses=g_losses, d_losses=d_losses, state=save_state,
+                cfg=cfg,
             )
         epoch += 1
 

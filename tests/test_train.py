@@ -715,3 +715,146 @@ def test_loop_key_impl_mapping():
     assert "fry" in str(k_def.dtype)
     k_rbg = _loop_key(3, "rbg")
     assert "rbg" in str(k_rbg.dtype)
+
+
+def _tiny_store(rng, n, c, t):
+    from scgrhc.data.store import SegmentStore
+
+    return SegmentStore(
+        rng.random((n, c, t)).astype(np.float32),
+        rng.random((n, 1, t)).astype(np.float32),
+        [f"r{i}" for i in range(n)], np.zeros(n, np.int64),
+        np.zeros(n, np.int64), np.zeros((n, 2)), np.zeros((n, 2)),
+        segment_samples=t,
+    )
+
+
+def test_channel_bucket_trajectory_identical():
+    """``channel_bucket: true`` zero-pads the SCG channel axis to the
+    sweep maximum (4) — and unlike row bucketing this must be EXACTLY
+    trajectory-identical: zero weight columns meet zero input channels,
+    their grads (hence Adam moments) stay identically zero, and no PRNG
+    draw changes shape.  Losses, the sliced-back state, and checkpoint
+    layout all match the unpadded run."""
+    from types import SimpleNamespace
+
+    from scgrhc.data.loaders import SegmentLoader
+    from scgrhc.models import channel_pad
+    from scgrhc.train.run import _run_epoch_scan_mode
+
+    cfg = TrainConfig(n_critic=2, lambda_gp=10.0, lambda_aux=100.0, alpha=1e-3)
+    t, c = 96, 2
+    state = init_state(jax.random.key(0), c, cfg)
+    store = _tiny_store(np.random.default_rng(5), 6, c, t)
+    loader = SegmentLoader(store, 2, shuffle=True, seed=11)
+    epoch_rng = jax.random.key(42)
+
+    plain = _run_epoch_scan_mode(None, cfg, _clone(state), loader, epoch_rng, 0)
+
+    padded_state = channel_pad.pad_state(_clone(state), c, 4)
+    params = SimpleNamespace(channel_bucket=True, in_channels=["x", "y"])
+    bucketed = _run_epoch_scan_mode(
+        params, cfg, padded_state, loader, epoch_rng, 0
+    )
+
+    assert len(plain) == len(bucketed) == 3
+    for (_, pi, pd, pg), (_, bi, bd, bg) in zip(plain, bucketed):
+        assert pi == bi
+        np.testing.assert_array_equal(np.asarray(pd), np.asarray(bd))
+        np.testing.assert_array_equal(np.asarray(pg), np.asarray(bg))
+
+    final = bucketed[-1][0]
+    # padded weight columns provably never moved
+    gw = np.asarray(final.g_params["enc1"]["conv1"]["w"])
+    dw = np.asarray(final.d_params["conv0"]["w"])
+    assert gw.shape[1] == 4 and dw.shape[1] == 5
+    np.testing.assert_array_equal(gw[:, c:], 0.0)
+    np.testing.assert_array_equal(dw[:, c:4], 0.0)
+    # slicing back reproduces the unpadded trajectory bit-for-bit —
+    # checkpoints therefore keep the reference layout
+    sliced = channel_pad.slice_state(final, c, 4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        (sliced.g_params, sliced.d_params),
+        (plain[-1][0].g_params, plain[-1][0].d_params),
+    )
+
+
+def test_channel_bucket_pad_slice_roundtrip():
+    """pad_state → slice_state is the identity on params AND both Adam
+    moment trees (mu/nu mirror the param structure)."""
+    from scgrhc.models import channel_pad
+
+    cfg = TrainConfig()
+    state = init_state(jax.random.key(1), 3, cfg)
+    back = channel_pad.slice_state(channel_pad.pad_state(state, 3, 4), 3, 4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state, back,
+    )
+
+
+def test_channel_bucket_shares_programs_across_channel_counts():
+    """The point of ``channel_bucket``: configs with different SCG channel
+    subsets (1 vs 2 here) must hit ONE compiled train program — on-chip
+    that's one ~minutes-long remote XLA compile for the whole sweep
+    dimension instead of one per subset (round-2 VERDICT next-round #2)."""
+    from types import SimpleNamespace
+
+    from scgrhc.data.loaders import SegmentLoader
+    from scgrhc.models import channel_pad
+    from scgrhc.train import wgan
+    from scgrhc.train.run import _run_epoch_scan_mode
+
+    cfg = TrainConfig(n_critic=1, alpha=1e-6)
+    t = 96
+    rng = np.random.default_rng(6)
+
+    def run(c):
+        state = channel_pad.pad_state(init_state(jax.random.key(0), c, cfg), c, 4)
+        loader = SegmentLoader(_tiny_store(rng, 4, c, t), 2, shuffle=True, seed=11)
+        params = SimpleNamespace(channel_bucket=True, in_channels=list(range(c)))
+        _run_epoch_scan_mode(params, cfg, state, loader, jax.random.key(7), 0)
+
+    run(1)
+    base = wgan.train_epoch_gather._cache_size()
+    run(2)
+    assert wgan.train_epoch_gather._cache_size() == base
+
+
+@pytest.mark.slow
+def test_channel_bucket_step_mode_matches(tiny_setup):
+    """Step mode (`train_mode: step`, the sweep default) pads each loader
+    batch via pad_batch — losses must equal the unpadded run's exactly,
+    composing with shape_bucket's masked tail padding."""
+    from types import SimpleNamespace
+
+    from scgrhc.data.loaders import SegmentLoader
+    from scgrhc.models import channel_pad
+    from scgrhc.train.run import _run_epoch_step_mode
+
+    cfg, _, _, _ = tiny_setup
+    cfg = cfg._replace(alpha=1e-6, n_critic=1)
+    t, c = 96, 2
+    state = init_state(jax.random.key(0), c, cfg)
+    store = _tiny_store(np.random.default_rng(8), 5, c, t)  # 2+2+1 tail
+    loader = SegmentLoader(store, 2, shuffle=True, seed=11)
+    epoch_rng = jax.random.key(42)
+
+    plain = list(
+        _run_epoch_step_mode(None, cfg, _clone(state), loader, epoch_rng, 0)
+    )
+    params = SimpleNamespace(
+        channel_bucket=True, shape_bucket=True, in_channels=["x", "y"]
+    )
+    bucketed = list(
+        _run_epoch_step_mode(
+            params, cfg, channel_pad.pad_state(_clone(state), c, 4), loader,
+            epoch_rng, 0,
+        )
+    )
+    assert len(plain) == len(bucketed) == 3
+    for (_, pi, pd, pg), (_, bi, bd, bg) in zip(plain, bucketed):
+        assert pi == bi
+        np.testing.assert_allclose(pd, bd, rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(pg, bg, rtol=1e-6, atol=1e-7)
