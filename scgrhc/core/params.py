@@ -170,7 +170,10 @@ class Params:
         # scanned batches' trajectory is identical (prefix-stable keys +
         # cond-skipped pad rows); the tail batch draws full-batch-shaped
         # dropout/eps, a different — equally valid — trajectory (same
-        # caveat as multi-chip divisibility padding).
+        # caveat as multi-chip divisibility padding).  Eval keeps its
+        # static chunk at eval_batch even for smaller splits (programs
+        # independent of dataset size; within cross-batch-shape float
+        # jitter of the clamped chunk, same scope as eval_stack).
         self.shape_bucket = d.get("shape_bucket", False)
         # True zero-pads the SCG channel axis (data + first conv layers)
         # to the sweep's maximum (4), so train/eval program shapes stop

@@ -58,19 +58,31 @@ def _chunk_scores_stacked(stacked_params, scg, rhc, mm_rhc, n: int, dtype: str):
 
 
 def predict_split(
-    g_params, store, batch: int = 256, sharding=None, dtype: str = "float32"
+    g_params, store, batch: int = 256, sharding=None, dtype: str = "float32",
+    pad_channels_to: int | None = None, bucket_batch: bool = False,
 ):
     """Run the generator over every segment of a store.
 
     Returns (real (N, T), pred (N, T) — both denormalized float32 numpy —
     and a dict of (N,) metric arrays).  ``sharding``, when given, places
     each chunk across a device mesh (batch-dim data parallelism) so eval
-    scales over chips.
-    """
-    scg_d, rhc_d = store.device_arrays()
+    scales over chips.  ``pad_channels_to`` zero-pads the SCG channel
+    axis of weights AND data to the bucket (``channel_bucket``) — exact,
+    see scgrhc.models.channel_pad — so eval programs stop depending on
+    the per-config channel subset.  ``bucket_batch`` (``shape_bucket``)
+    keeps the static chunk at ``batch`` even when the split is smaller,
+    so eval programs stop depending on the dataset size (pad rows are
+    computed and discarded — cheap next to a fresh XLA compile)."""
+    if pad_channels_to is not None:
+        from scgrhc.models.channel_pad import pad_generator
+
+        c = store.scg.shape[1]
+        if c < pad_channels_to:
+            g_params = pad_generator(g_params, c, pad_channels_to)
+    scg_d, rhc_d = store.device_arrays(pad_channels_to=pad_channels_to)
     n = len(store)
     mm = jnp.asarray(store.minmax_rhc)
-    batch = max(1, min(batch, n))
+    batch = max(1, batch if bucket_batch else min(batch, n))
     if sharding is not None:
         # round the static chunk up to the mesh size — the pad-to-static
         # rows below make any batch shard cleanly (mirrors train's
@@ -120,7 +132,8 @@ def stack_params(params_list):
 
 def predict_split_multi(
     params_list, store, batch: int = 256, stack: int = 8,
-    sharding=None, dtype: str = "float32",
+    sharding=None, dtype: str = "float32", pad_channels_to: int | None = None,
+    bucket_batch: bool = False,
 ):
     """Score K checkpoints over a whole split, amortizing the segment
     batches: checkpoints are stacked ``stack`` at a time on a leading
@@ -136,9 +149,17 @@ def predict_split_multi(
     k = len(params_list)
     if k == 0:
         return []
-    scg_d, rhc_d = store.device_arrays()
+    if pad_channels_to is not None:
+        from scgrhc.models.channel_pad import pad_generator
+
+        c = store.scg.shape[1]
+        if c < pad_channels_to:
+            params_list = [
+                pad_generator(p, c, pad_channels_to) for p in params_list
+            ]
+    scg_d, rhc_d = store.device_arrays(pad_channels_to=pad_channels_to)
     mm = jnp.asarray(store.minmax_rhc)
-    batch = max(1, min(batch, n))
+    batch = max(1, batch if bucket_batch else min(batch, n))
     if sharding is not None:
         # round up to the mesh size; pad-to-static rows shard cleanly
         ndev = sharding.mesh.devices.size

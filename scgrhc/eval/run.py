@@ -82,13 +82,15 @@ def _comparison_rows(store, real, pred, scores):
 
 
 def get_waveform_comparisons(
-    g_params, loader, batch: int = 256, sharding=None, dtype: str = "float32"
+    g_params, loader, batch: int = 256, sharding=None, dtype: str = "float32",
+    pad_channels_to=None, bucket_batch=False,
 ):
     """Per-segment comparison rows (reference: waveform_test.py:53-85),
     computed by one batched device program per chunk."""
     store = loader.dataset
     real, pred, scores = predict_split(
-        g_params, store, batch=batch, sharding=sharding, dtype=dtype
+        g_params, store, batch=batch, sharding=sharding, dtype=dtype,
+        pad_channels_to=pad_channels_to, bucket_batch=bucket_batch,
     )
     return _comparison_rows(store, real, pred, scores)
 
@@ -197,11 +199,20 @@ def run(params, loader_type: str, checkpoint_path: str) -> None:
 
     stack = max(1, int(getattr(params, "eval_stack", 8)))
     sharding = _auto_sharding(params.eval_batch)
+    # channel_bucket: eval programs stop depending on the SCG channel
+    # subset (exact — zero weight columns meet zero input channels)
+    from scgrhc.models.channel_pad import bucket_for
+
+    c_pad = bucket_for(params)
+    # shape_bucket: keep the eval chunk at eval_batch even for small
+    # splits, so programs stop depending on the dataset size
+    b_bucket = bool(getattr(params, "shape_bucket", False))
     try:
         if len(todo) > 1 and stack > 1:
             _run_stacked(
                 params, loader, checkpoint_paths, todo, comp_dir_path,
                 load_g_params, print_line, stack, sharding, loader_type,
+                c_pad, b_bucket,
             )
             return
 
@@ -226,6 +237,7 @@ def run(params, loader_type: str, checkpoint_path: str) -> None:
                     comparisons = get_waveform_comparisons(
                         g_params, loader, batch=params.eval_batch,
                         dtype=params.dtype, sharding=sharding,
+                        pad_channels_to=c_pad, bucket_batch=b_bucket,
                     )
                 _write_comparison_csv(comparisons, comp_dir_path, ckpt_name)
         finally:
@@ -244,6 +256,7 @@ def run(params, loader_type: str, checkpoint_path: str) -> None:
 def _run_stacked(
     params, loader, checkpoint_paths, todo, comp_dir_path,
     load_g_params, print_line, stack, sharding, loader_type,
+    pad_channels_to=None, bucket_batch=False,
 ):
     """'test all' with checkpoint stacking: groups of ``stack`` checkpoints
     are scored by ONE vmapped program per segment chunk (weights carry a
@@ -279,6 +292,7 @@ def _run_stacked(
                 results = predict_split_multi(
                     loaded, store, batch=params.eval_batch, stack=stack,
                     sharding=sharding, dtype=params.dtype,
+                    pad_channels_to=pad_channels_to, bucket_batch=bucket_batch,
                 )
             for name, (real, pred, scores) in zip(names, results):
                 while (

@@ -40,6 +40,17 @@ import jax.numpy as jnp
 CHANNEL_BUCKET = 4  # max SCG channel count across the reference sweep
 
 
+def bucket_for(params):
+    """The pad target (4) when ``channel_bucket`` applies to ``params``
+    (opt-in key set and the true SCG count below the bucket), else None."""
+    if (
+        getattr(params, "channel_bucket", False)
+        and len(params.in_channels) < CHANNEL_BUCKET
+    ):
+        return CHANNEL_BUCKET
+    return None
+
+
 def _insert_zeros(w, extra: int, at: int):
     """Insert ``extra`` zero columns along axis 1 at index ``at``."""
     z = jnp.zeros((w.shape[0], extra, *w.shape[2:]), jnp.asarray(w).dtype)

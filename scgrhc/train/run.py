@@ -132,14 +132,9 @@ def _pad_idx_mask(idx: np.ndarray, n_dev: int):
 def _channel_pad_to(params):
     """4 when ``channel_bucket`` applies (true SCG count below the
     bucket), else None.  See scgrhc.models.channel_pad."""
-    from scgrhc.models.channel_pad import CHANNEL_BUCKET
+    from scgrhc.models.channel_pad import bucket_for
 
-    if (
-        getattr(params, "channel_bucket", False)
-        and len(params.in_channels) < CHANNEL_BUCKET
-    ):
-        return CHANNEL_BUCKET
-    return None
+    return bucket_for(params)
 
 
 def _bucket_cap(n: int) -> int:

@@ -369,3 +369,59 @@ def test_eval_stage_stacked_equals_serial(exp_dir):
             get_float_array(a["pred_rhc"][0]), get_float_array(b["pred_rhc"][0]),
             atol=2e-3,
         )
+
+
+def test_predict_split_channel_bucket_exact(g_setup):
+    """``channel_bucket`` in eval: padding weights AND data to the channel
+    bucket is bit-exact (zero weight columns meet zero input channels) —
+    and a C=1 store hits the same compiled program as a C=2 one."""
+    from scgrhc.eval import infer
+
+    _, state, store = g_setup  # C=2
+    r1, p1, s1 = predict_split(state.g_params, store, batch=6)
+    r2, p2, s2 = predict_split(
+        state.g_params, store, batch=6, pad_channels_to=4
+    )
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_array_equal(s1["pcc_r"], s2["pcc_r"])
+
+    base = infer._chunk_scores._cache_size()
+    cfg = TrainConfig()
+    state1 = init_state(jax.random.key(3), 1, cfg)
+    predict_split(
+        state1.g_params, _random_store(c=1, seed=4), batch=6,
+        pad_channels_to=4,
+    )
+    assert infer._chunk_scores._cache_size() == base
+
+
+def test_predict_split_multi_channel_bucket_exact(g_setup):
+    """Stacked multi-checkpoint eval composes with channel_bucket."""
+    from scgrhc.eval.infer import predict_split_multi
+
+    cfg, state, store = g_setup
+    state2 = init_state(jax.random.key(7), 2, cfg)
+    plist = [state.g_params, state2.g_params]
+    plain = predict_split_multi(plist, store, batch=6, stack=2)
+    padded = predict_split_multi(
+        plist, store, batch=6, stack=2, pad_channels_to=4
+    )
+    for (r1, p1, s1), (r2, p2, s2) in zip(plain, padded):
+        np.testing.assert_array_equal(p1, p2)
+        np.testing.assert_array_equal(s1["pcc_r"], s2["pcc_r"])
+
+
+def test_predict_split_bucket_batch_matches(g_setup):
+    """``shape_bucket`` in eval: keeping the static chunk at eval_batch for
+    splits smaller than it (pad rows computed and discarded) makes the
+    program dataset-size-independent; real rows match the clamped-chunk
+    path within XLA's cross-batch-shape reduction jitter (same tolerances
+    as test_predict_split_chunking_invariant)."""
+    _, state, store = g_setup  # N=6
+    r1, p1, s1 = predict_split(state.g_params, store, batch=64)
+    r2, p2, s2 = predict_split(
+        state.g_params, store, batch=64, bucket_batch=True
+    )
+    np.testing.assert_allclose(r1, r2, atol=1e-5)
+    np.testing.assert_allclose(p1, p2, rtol=1e-5, atol=3e-4)
+    np.testing.assert_allclose(s1["pcc_r"], s2["pcc_r"], rtol=1e-5, atol=1e-6)
