@@ -64,6 +64,7 @@ def dispatch(argv: list[str]) -> int:
         # production 250-epoch runs should keep epoch mode (faster steady
         # state, compile amortized) via --train-mode epoch.
         jobs, overrides = 1, {"train_mode": "step"}
+        inproc = None
         rest = argv[2:] if root != "." or (len(argv) > 1 and argv[1] == ".") else argv[1:]
         i = 0
         while i < len(rest):
@@ -75,6 +76,10 @@ def dispatch(argv: list[str]) -> int:
                 overrides["seed"] = int(rest[i + 1]); i += 2
             elif rest[i] == "--train-mode":
                 overrides["train_mode"] = rest[i + 1]; i += 2
+            elif rest[i] == "--inproc":
+                inproc = True; i += 1
+            elif rest[i] == "--subproc":
+                inproc = False; i += 1
             elif rest[i] == "--fast":
                 # the measured-best TPU training bundle (core/params.py
                 # train_profile "fast"; BENCH.md round 3) applied to every
@@ -83,8 +88,15 @@ def dispatch(argv: list[str]) -> int:
                 overrides["train_profile"] = "fast"; i += 1
             else:
                 raise SystemExit(f"unknown sweep flag {rest[i]}")
+        if inproc is None:
+            # --fast makes every same-batch config share one program
+            # shape, so at jobs=1 the in-process runner reuses the
+            # in-memory executable across configs (compile + remote
+            # program reload paid once per batch-size class, not per
+            # config).  --jobs N keeps process fan-out for multi-chip.
+            inproc = jobs <= 1 and overrides.get("train_profile") == "fast"
         dirs = write_experiments(root, **overrides)
-        results = run_sweep(dirs, jobs=jobs)
+        results = run_sweep(dirs, jobs=jobs, inproc=inproc)
         return 0 if all(c == 0 for c in results.values()) else 1
     if cmd == "demo":
         from scgrhc.pipeline import demo

@@ -32,15 +32,46 @@ def run_experiment_process(dir_path: str, env_extra: dict | None = None) -> int:
     return proc.returncode
 
 
+def run_experiment_inproc(dir_path: str) -> int:
+    """Run one experiment's full pipeline in THIS process.
+
+    The payoff is the in-memory jit cache: with ``shape_bucket`` +
+    ``channel_bucket`` every config in a batch-size class traces to the
+    SAME jaxpr, so configs 2..N skip compile AND the per-process
+    executable reload entirely (measured: a fresh process pays minutes
+    re-loading the cached program through the remote-TPU tunnel even on
+    a persistent-cache hit; in-process the hit is free).  Config
+    failures are contained like the reference pipeline contains stage
+    failures (waveform_pipeline.py:12-22): print and move on — every
+    stage is idempotent-resumable, so a rerun finishes stragglers.
+    """
+    import os as _os
+
+    from scgrhc.core.params import Params
+    from scgrhc.pipeline import run as pipeline_run
+
+    try:
+        pipeline_run.run(Params(_os.path.join(dir_path, "params.json")))
+        return 0
+    except Exception as e:
+        print(f"sweep | {dir_path} failed in-process: {e!r}")
+        return 1
+
+
 def run_sweep(
-    dir_paths: list[str], jobs: int = 1, device_ids: list[int] | None = None
+    dir_paths: list[str],
+    jobs: int = 1,
+    device_ids: list[int] | None = None,
+    inproc: bool = False,
 ) -> dict[str, int]:
     """Fan the experiment list out ``jobs`` processes at a time.
 
     ``device_ids``, when given, pins experiment i to device
     ``device_ids[i % len(device_ids)]`` (one config per chip — the
-    experiment-parallel mapping of SURVEY §2.3).
-    Returns dir_path → exit code.
+    experiment-parallel mapping of SURVEY §2.3).  ``inproc`` runs the
+    configs serially inside this process instead (requires jobs<=1);
+    see :func:`run_experiment_inproc` for why that is the fast path on
+    one chip.  Returns dir_path → exit code.
     """
     start = time()
     results: dict[str, int] = {}
@@ -52,9 +83,15 @@ def run_sweep(
             dev = device_ids[i % len(device_ids)]
             env_extra["TPU_VISIBLE_DEVICES"] = str(dev)
         print(timelog(f"sweep | start {dir_path}", start))
-        code = run_experiment_process(dir_path, env_extra)
+        if inproc:
+            code = run_experiment_inproc(dir_path)
+        else:
+            code = run_experiment_process(dir_path, env_extra)
         print(timelog(f"sweep | done {dir_path} (exit {code})", start))
         return dir_path, code
+
+    if inproc and jobs > 1:
+        raise ValueError("inproc sweep requires jobs=1 (one process, one chip)")
 
     if jobs <= 1:
         for item in enumerate(dir_paths):

@@ -45,6 +45,37 @@ def test_run_sweep_exit_codes(tmp_path, monkeypatch):
     assert devs["a"] == "0" and devs["bad"] == "1" and devs["c"] == "0"
 
 
+def test_run_sweep_inproc_contains_failures(tmp_path, monkeypatch):
+    """In-process mode: configs run via pipeline.run in THIS process, a
+    failing config is contained (exit 1) and the rest still run — the
+    reference pipeline's stage-failure containment applied per config
+    (waveform_pipeline.py:12-22)."""
+    import scgrhc.pipeline.run as pipeline_run
+    import scgrhc.pipeline.sweep as sweep
+
+    ran = []
+
+    def fake_run(params):
+        ran.append(params.dir_path)
+        if "bad" in params.dir_path:
+            raise RuntimeError("boom")
+
+    class FakeParams:
+        def __init__(self, path):
+            self.dir_path = os.path.dirname(path)
+
+    monkeypatch.setattr(pipeline_run, "run", fake_run)
+    monkeypatch.setattr(sweep, "run_experiment_process", None)  # must not be used
+    import scgrhc.core.params as params_mod
+
+    monkeypatch.setattr(params_mod, "Params", FakeParams)
+    res = sweep.run_sweep(["a", "bad", "c"], jobs=1, inproc=True)
+    assert res == {"a": 0, "bad": 1, "c": 0}
+    assert ran == ["a", "bad", "c"]
+    with pytest.raises(ValueError):
+        sweep.run_sweep(["a"], jobs=2, inproc=True)
+
+
 def test_trace_noop_without_env(monkeypatch):
     from scgrhc.core import trace as tr
 
