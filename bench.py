@@ -359,11 +359,15 @@ def run_stream(args):
     elif args.continuous:
         from scgrhc.models import cp
 
-        rec_d = jnp.asarray(rec)[None]  # (1, C, L)
-        np.asarray(cp.apply_continuous(g, rec_d))  # warm/compile
+        np.asarray(cp.apply_continuous(g, jnp.asarray(rec)[None]))  # warm
+        reps = 3
         t0 = time.perf_counter()
-        np.asarray(cp.apply_continuous(g, rec_d))
-        dt = time.perf_counter() - t0
+        for _ in range(reps):
+            # H2D inside the timed region — this is an end-to-end row
+            # (round 2 staged the record on device before timing, which
+            # silently excluded the upload; BENCH.md now says so)
+            np.asarray(cp.apply_continuous(g, jnp.asarray(rec)[None]))
+        dt = (time.perf_counter() - t0) / reps
         label = "continuous"
     elif args.adc:
         # int16 ADC upload + on-device calibration (the serve/predict

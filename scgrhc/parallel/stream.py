@@ -62,6 +62,38 @@ def _frame_norm(x, t: int, hop: int | None, backend: str = "jnp"):
 
 
 @partial(jax.jit, static_argnames=("t", "hop", "backend"))
+def _fused_stream(g_params, x, pack, t: int, hop: int | None,
+                  backend: str = "jnp"):
+    """The whole serving request as ONE device program: (optional ADC
+    calibration +) framing + per-window normalization + U-Net forward +
+    denormalization, returning (N, t).
+
+    ``pack`` carries every per-request scalar in a single (3C+2,) f32
+    upload: rows gain/baseline/sentinel (C each; gain==0 ⇒ input is
+    already physical, skip calibration) then [rhc_min, rhc_max].  Through
+    a high-latency host↔device link (this machine's tunnel: ~30 ms per
+    round trip) the request cost is dominated by the NUMBER of
+    transfers/dispatches, not bytes — the round-2 path paid ~7 sequential
+    round trips per request (3 calibration vectors, 2 denorm scalars, 2
+    program dispatches); this path pays one input upload, one pack
+    upload, one dispatch, one readback."""
+    c = x.shape[0]
+    gain, base = pack[:c], pack[c : 2 * c]
+    sentinel, lo, hi = pack[2 * c : 3 * c], pack[3 * c], pack[3 * c + 1]
+
+    def calibrated(a):
+        a = a.astype(jnp.float32)
+        phys = (a - base[:, None]) / gain[:, None]
+        return jnp.where(a == sentinel[:, None], jnp.nan, phys)
+
+    phys = jax.lax.cond(gain[0] != 0, calibrated,
+                        lambda a: a.astype(jnp.float32), x)
+    w = _frame_norm(phys, t, hop, backend)
+    p = generator.apply(g_params, w, train=False)[:, 0, :]
+    return p * (hi - lo) + lo
+
+
+@partial(jax.jit, static_argnames=("t", "hop", "backend"))
 def _calib_frame_norm(adc, gain, base, sentinel, t: int, hop: int | None,
                       backend: str = "jnp"):
     """int16 ADC record → calibrate + frame + normalize, one device program.
@@ -104,6 +136,38 @@ def stream_infer(
     """
     t = segment_samples
     hop = t - overlap if overlap else t
+    c, L = record_scg.shape
+    n = (L - t) // hop + 1 if L >= t else 0
+    if n == 0:
+        return np.zeros(0, dtype=np.float32)
+
+    if mesh is None and n <= batch:
+        # single-chunk fast path (records ≤ batch·t samples, e.g. ≤12.8
+        # min at the defaults): the entire request is ONE device program
+        # and one packed scalar upload — see _fused_stream.  This is the
+        # serving steady-state path; latency through a high-round-trip
+        # link drops ~2× vs the chunked dispatch chain below.
+        lo, hi = rhc_minmax if rhc_minmax is not None else (0.0, 1.0)
+        if calibration is not None:
+            gain, base, sentinel = (np.asarray(v, np.float32)
+                                    for v in calibration)
+            x = jnp.asarray(record_scg)  # int16: 2-byte H2D upload
+        else:
+            gain = np.zeros(c, np.float32)  # gain==0 ⇒ no calibration
+            base = sentinel = np.zeros(c, np.float32)
+            x = jnp.asarray(record_scg, dtype=jnp.float32)
+        pack = jnp.asarray(
+            np.concatenate([gain, base, sentinel,
+                            np.asarray([lo, hi], np.float32)])
+        )
+        pred = np.asarray(
+            _fused_stream(g_params, x, pack, t, hop if overlap else None,
+                          norm_backend)
+        )
+        if overlap:
+            return _blend(pred, hop, t)
+        return pred.reshape(-1)
+
     if calibration is not None:
         gain, base, sentinel = (
             jnp.asarray(v, jnp.float32) for v in calibration
@@ -115,9 +179,6 @@ def stream_infer(
     else:
         x = jnp.asarray(record_scg, dtype=jnp.float32)
         w = _frame_norm(x, t, hop if overlap else None, norm_backend)
-    n = w.shape[0]
-    if n == 0:
-        return np.zeros(0, dtype=np.float32)
 
     sharding = batch_sharding(mesh) if mesh is not None else None
     batch = max(1, min(batch, n))

@@ -124,6 +124,37 @@ def test_stream_infer_sharded_equals_local(mesh8):
     np.testing.assert_allclose(local, sharded, atol=2e-5)
 
 
+def test_stream_infer_fused_equals_chunked():
+    """The single-dispatch serving path (_fused_stream: n <= batch, one
+    program, one packed scalar upload) == the chunked dispatch chain
+    (forced via a small batch), float and int16-ADC inputs alike."""
+    g = init_state(jax.random.key(0), 2, TrainConfig()).g_params
+    rng = np.random.default_rng(7)
+    rec = rng.random((2, T * 6)).astype(np.float32) * 2 - 1
+    fused = stream_infer(g, rec, segment_samples=T, batch=16,
+                         rhc_minmax=((-3.0), 5.0))
+    chunked = stream_infer(g, rec, segment_samples=T, batch=2,
+                           rhc_minmax=((-3.0), 5.0))
+    np.testing.assert_allclose(fused, chunked, atol=2e-5)
+
+    # ADC path: int16 upload + on-device calibration, fused vs chunked
+    gain = np.asarray([1000.0, 500.0], np.float32)
+    base = np.asarray([10.0, -5.0], np.float32)
+    sentinel = np.asarray([-32768.0, -32768.0], np.float32)
+    adc = np.clip(rec * gain[:, None] + base[:, None],
+                  -32767, 32767).astype(np.int16)
+    cal = (gain, base, sentinel)
+    fused_adc = stream_infer(g, adc, segment_samples=T, batch=16,
+                             calibration=cal)
+    chunked_adc = stream_infer(g, adc, segment_samples=T, batch=2,
+                               calibration=cal)
+    np.testing.assert_allclose(fused_adc, chunked_adc, atol=2e-5)
+    # and the calibrated ADC path tracks the physical-float path
+    phys = (adc.astype(np.float32) - base[:, None]) / gain[:, None]
+    fused_phys = stream_infer(g, phys, segment_samples=T, batch=16)
+    np.testing.assert_allclose(fused_adc, fused_phys, atol=2e-4)
+
+
 def test_stream_infer_overlap_blend():
     g = init_state(jax.random.key(0), 1, TrainConfig()).g_params
     rec = jnp.asarray(np.random.default_rng(3).random((1, T * 4)), jnp.float32)
