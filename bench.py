@@ -26,7 +26,10 @@ completion barrier (adds one 4-byte transfer).
 """
 
 import json
+import os
+import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -72,16 +75,17 @@ def _emit(metric, value, unit, vs_baseline=None, **extra):
 # -- inference (the driver headline) ------------------------------------------
 
 
-def bench_jax(dtype="float32"):
+def bench_jax(dtype="float32", batch=None):
     import jax
     import jax.numpy as jnp
 
     from scgrhc.models import generator
 
+    batch = BATCH if batch is None else batch
     g_params = generator.init(jax.random.key(0), IN_CHANNELS)
     if dtype != "float32":
         g_params = generator.cast_params(g_params, jnp.dtype(dtype))
-    scg = jax.random.uniform(jax.random.key(1), (BATCH, IN_CHANNELS, T), jnp.float32)
+    scg = jax.random.uniform(jax.random.key(1), (batch, IN_CHANNELS, T), jnp.float32)
     if dtype != "float32":
         scg = scg.astype(jnp.dtype(dtype))
 
@@ -89,7 +93,7 @@ def bench_jax(dtype="float32"):
         lambda p, x: jnp.sum(generator.apply(p, x, train=False).astype(jnp.float32))
     )
     per_iter, iters = _readback_time(fwd, g_params, scg)
-    return BATCH / per_iter, {"iters": iters, "batch": BATCH}
+    return batch / per_iter, {"iters": iters, "batch": batch}
 
 
 def bench_torch_reference():
@@ -128,9 +132,12 @@ def _torch_oracles():
 
 
 def run_inference(args):
-    sps, _ = bench_jax(dtype=args.dtype)
+    batch = args.infer_batch or None
+    sps, info = bench_jax(dtype=args.dtype, batch=batch)
     ref = bench_torch_reference()
     extra = {} if args.dtype == "float32" else {"dtype": args.dtype}
+    if batch:
+        extra["batch"] = info["batch"]
     _emit("generator_inference_throughput", sps, "segments/s/chip",
           (sps / ref) if ref else None, **extra)
 
@@ -480,6 +487,55 @@ def run_pallas(args):
                "jnp on the same framing")
 
 
+def _run_with_compile_budget(budget_s, argv):
+    """Re-run this benchmark in a child process, waiting at most ``budget_s``.
+
+    Remote-TPU compiles through this machine's tunnel can exceed 30 min for
+    pathological program shapes (BENCH.md: ``eval --stack >= 16``, ``train
+    --batch 128 --fuse 2b``), and killing a client mid-remote-compile wedges
+    the chip for tens of minutes.  So on timeout the child is deliberately
+    NOT killed: it is detached to finish harmlessly — populating the
+    persistent XLA compilation cache so a later attempt starts warm — while
+    this process emits a ``compile-budget-exceeded`` JSON line and returns.
+    The child's (late) output goes to the temp file named in that line, never
+    to this stdout, so the one-JSON-line contract holds either way.
+    """
+    child_argv = []
+    skip = False
+    for a in argv:
+        if skip:
+            skip = False
+        elif a == "--compile-budget":
+            skip = True
+        elif not a.startswith("--compile-budget="):
+            child_argv.append(a)
+    out = tempfile.NamedTemporaryFile(
+        mode="w+", suffix=".bench.out", delete=False
+    )
+    env = dict(os.environ, _SCGRHC_BENCH_CHILD="1")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)] + child_argv,
+        stdout=out, stderr=subprocess.STDOUT, env=env,
+        start_new_session=True,  # survives this process exiting
+    )
+    try:
+        rc = proc.wait(timeout=budget_s)
+    except subprocess.TimeoutExpired:
+        _emit("bench_compile_budget", 0, "seconds", None,
+              error="compile-budget-exceeded", budget_s=budget_s,
+              detached_pid=proc.pid, detached_output=out.name,
+              argv=child_argv)
+        return 0
+    out.seek(0)
+    text = out.read()
+    os.unlink(out.name)
+    # pass through the child's JSON line(s); drop warning noise
+    for line in text.splitlines():
+        if line.startswith("{"):
+            print(line)
+    return rc
+
+
 def main(argv=None):
     import argparse
 
@@ -505,7 +561,36 @@ def main(argv=None):
     ap.add_argument("--continuous", action="store_true")
     ap.add_argument("--adc", action="store_true")
     ap.add_argument("--device-resident", action="store_true")
+    ap.add_argument("--infer-batch", type=int, default=0,
+                    help="inference-mode batch size (0 = the headline's "
+                         f"default {BATCH})")
+    ap.add_argument("--compile-budget", type=float, default=0.0,
+                    help="seconds to wait for the (child-process) run before "
+                         "emitting a compile-budget-exceeded line; 0 = no "
+                         "budget.  The child is detached, never killed "
+                         "(killing mid-remote-compile wedges the chip).")
     args = ap.parse_args(argv)
+
+    if args.compile_budget > 0 and not os.environ.get("_SCGRHC_BENCH_CHILD"):
+        return _run_with_compile_budget(
+            args.compile_budget, list(argv) if argv is not None else sys.argv[1:]
+        )
+
+    # test hook: lets the budget-timeout path be exercised deterministically
+    # without a multi-minute compile (tests/test_graft_bench.py)
+    _sleep = float(os.environ.get("SCGRHC_BENCH_TEST_SLEEP", "0") or 0)
+    if _sleep:
+        time.sleep(_sleep)
+
+    # the axon TPU plugin's sitecustomize overrides JAX_PLATFORMS at
+    # interpreter startup; re-assert the caller's explicit choice so child
+    # runs (compile-budget guard, test subprocesses) land on the intended
+    # backend
+    want_platform = os.environ.get("JAX_PLATFORMS")
+    if want_platform:
+        import jax
+
+        jax.config.update("jax_platforms", want_platform)
 
     import scgrhc
 
@@ -522,4 +607,4 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

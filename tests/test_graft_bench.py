@@ -80,6 +80,57 @@ def test_bench_data_mode():
 import pytest
 
 
+def test_compile_budget_timeout_detaches_child(monkeypatch, tmp_path):
+    """A run that exceeds --compile-budget emits ONE budget-exceeded JSON
+    line and leaves the child alive (killing a client mid-remote-compile
+    wedges the chip — bench.py deliberately detaches instead)."""
+    import os
+    import signal
+    import time
+
+    import bench
+
+    monkeypatch.setenv("SCGRHC_BENCH_TEST_SLEEP", "30")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = bench.main(["--mode", "data", "--compile-budget", "1.5"])
+    assert rc == 0
+    lines = [l for l in buf.getvalue().splitlines() if l.strip()]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert rec["error"] == "compile-budget-exceeded"
+    assert rec["metric"] == "bench_compile_budget"
+    pid = rec["detached_pid"]
+    os.kill(pid, 0)  # child still alive (not killed by the guard)
+    os.kill(pid, signal.SIGKILL)  # clean up (safe: it is only sleeping)
+    try:
+        os.unlink(rec["detached_output"])
+    except OSError:
+        pass
+
+
+def test_compile_budget_passthrough(monkeypatch):
+    """A run that finishes within --compile-budget passes the child's JSON
+    line through unchanged."""
+    import bench
+    import io
+    from contextlib import redirect_stdout
+
+    monkeypatch.delenv("SCGRHC_BENCH_TEST_SLEEP", raising=False)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = bench.main(["--mode", "data", "--compile-budget", "300"])
+    assert rc == 0
+    lines = [l for l in buf.getvalue().splitlines() if l.strip()]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "data_stage_throughput"
+    assert rec["value"] > 0
+
+
 @pytest.mark.slow
 def test_bench_train_mode():
     rec = _run_mode(["--mode", "train", "--batch", "4", "--nb", "2"])
