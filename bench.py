@@ -36,7 +36,8 @@ import numpy as np
 
 IN_CHANNELS = 3  # flagship config waveform_06
 T = 750
-BATCH = 1024
+BATCH = 2048  # measured f32 knee on v5e (BENCH.md: 1024→14.1k, 2048→17.3k,
+              # 3072→16.2k seg/s; 4096 OOMs); bf16's knee is 4096 (23.2k)
 
 
 def _readback_time(fn, *args, seconds=3.0):
