@@ -298,13 +298,14 @@ def run_eval(args):
     # warm/compile outside the timed region (chunk shapes are identical
     # for every group thanks to pad-to-static)
     predict_split_multi(
-        params_list[: args.stack], store, batch=256, stack=args.stack,
-        dtype=args.dtype,
+        params_list[: args.stack], store, batch=args.eval_batch,
+        stack=args.stack, dtype=args.dtype,
     )
 
     t0 = time.perf_counter()
     out = predict_split_multi(
-        params_list, store, batch=256, stack=args.stack, dtype=args.dtype
+        params_list, store, batch=args.eval_batch, stack=args.stack,
+        dtype=args.dtype,
     )
     # the scores dict is host-side numpy → computation is complete
     assert len(out) == args.ckpts
@@ -312,6 +313,7 @@ def run_eval(args):
     cps = args.ckpts / dt
     _emit("eval_all_throughput", cps * S, "segment-evals/s/chip", None,
           ckpts=args.ckpts, segments=S, stack=args.stack,
+          eval_batch=args.eval_batch,
           checkpoints_per_s=round(cps, 2))
 
 
@@ -558,6 +560,7 @@ def main(argv=None):
     ap.add_argument("--ckpts", type=int, default=32)
     ap.add_argument("--segments", type=int, default=512)
     ap.add_argument("--stack", type=int, default=8)
+    ap.add_argument("--eval-batch", type=int, default=256)
     ap.add_argument("--minutes", type=float, default=10.0)
     ap.add_argument("--continuous", action="store_true")
     ap.add_argument("--adc", action="store_true")

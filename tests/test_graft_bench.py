@@ -69,6 +69,15 @@ def test_bench_eval_mode():
     rec = _run_mode(["--mode", "eval", "--ckpts", "3", "--segments", "8",
                      "--stack", "2"])
     assert rec["metric"] == "eval_all_throughput"
+    assert rec["eval_batch"] == 256  # knob default
+
+
+def test_bench_eval_mode_eval_batch():
+    """--eval-batch shapes the chunking (BENCH.md stack×batch matrix)."""
+    rec = _run_mode(["--mode", "eval", "--ckpts", "3", "--segments", "8",
+                     "--stack", "2", "--eval-batch", "4"])
+    assert rec["metric"] == "eval_all_throughput"
+    assert rec["eval_batch"] == 4
 
 
 def test_bench_data_mode():
