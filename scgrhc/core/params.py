@@ -87,7 +87,8 @@ class Params:
         # training bundle, BENCH.md round 3: bfloat16 compute with the
         # f32 output epilogue, XLA-native rbg loop RNG, shared critic
         # prediction, 2-batch critic fusion, dataset-size-independent
-        # program shapes).  Explicitly-set keys always win over the
+        # program shapes, async checkpoint writes).  Explicitly-set keys
+        # always win over the
         # profile; "fast" trains a different — equally valid —
         # trajectory than the reference (see the individual keys below).
         profile = d.get("train_profile", "reference")
@@ -105,6 +106,8 @@ class Params:
                 ("critic_fuse", "2b"),
                 ("shape_bucket", True),
                 ("channel_bucket", True),
+                ("checkpoint_async", True),
+                ("plot_async", True),
             ):
                 d.setdefault(k, v)
         # "seed": null reproduces the reference's unseeded behavior
@@ -121,6 +124,17 @@ class Params:
         # "reference" = the pickle dict layout of waveform_train.py:401-411;
         # "orbax" = native sharded-pytree checkpoints (scgrhc.train.orbax_io)
         self.checkpoint_backend = d.get("checkpoint_backend", "reference")
+        # True overlaps the per-epoch reference-layout checkpoint write
+        # (device→host pull + pickle) with the next epoch's on-device
+        # compute — identical bytes, written by a background thread with
+        # atomic tmp+rename (crash mid-write resumes from the previous
+        # epoch, same contract as the orbax backend's async saves)
+        self.checkpoint_async = d.get("checkpoint_async", False)
+        # True draws the per-10-batch loss png on a background thread
+        # (latest-wins queue — ~0.5 s/redraw of host matplotlib time
+        # otherwise serialized with the loop); the final png is flushed
+        # before the stage returns, so artifacts are unchanged
+        self.plot_async = d.get("plot_async", False)
         # "epoch" = lax.scan whole-epoch programs (one dispatch per epoch);
         # "step" = one jitted program per batch (reference-style loop)
         self.train_mode = d.get("train_mode", "epoch")

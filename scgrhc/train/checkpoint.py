@@ -208,6 +208,41 @@ def _to_numpy(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+_async_thread = None
+_async_error: list = []
+_copy_jit = None
+
+
+def _device_snapshot(state):
+    """Donation-safe device-side copy of the train state.
+
+    The train step donates its input state buffers (wgan.py
+    ``donate_argnums=(0,)``), so a background writer must never read the
+    live arrays — the next epoch's dispatch would invalidate them under
+    it.  One jitted copy (fresh, un-donated output buffers) costs a few
+    hundred µs of HBM bandwidth; the slow device→host pull then happens
+    safely in the writer thread."""
+    global _copy_jit
+    if _copy_jit is None:
+        import jax.numpy as jnp
+
+        _copy_jit = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
+    return _copy_jit(state)
+
+
+def wait() -> None:
+    """Block until an in-flight :func:`save` (``block=False``) is durable.
+
+    Re-raises any exception the background write hit (a silently-dropped
+    checkpoint must not look like a successful epoch)."""
+    global _async_thread
+    if _async_thread is not None:
+        _async_thread.join()
+        _async_thread = None
+    if _async_error:
+        raise _async_error.pop()
+
+
 def save(
     path: str,
     *,
@@ -217,32 +252,72 @@ def save(
     d_losses: list,
     state,
     cfg=None,
+    block: bool = True,
 ) -> None:
     """Write a reference-layout checkpoint dict (native pickle).
 
     ``cfg`` fills the exported Adam param_group hyperparameters (defaults
-    match every reference config: lr 1e-4, betas (0.5, 0.999))."""
-    ckpt = {
-        "format": _NATIVE_TAG,
-        "start_time": start_time,
-        "epoch": epoch,
-        "g_losses": list(g_losses),
-        "d_losses": list(d_losses),
-        "g_state_dict": torch_compat.generator_to_torch_sd(
-            _to_numpy(state.g_params), as_torch=False
-        ),
-        "d_state_dict": torch_compat.critic_to_torch_sd(
-            _to_numpy(state.d_params), as_torch=False
-        ),
-        "g_optimizer_state_dict": optax_to_torch_adam_sd(
-            state.g_opt, state.g_params, "generator", cfg
-        ),
-        "d_optimizer_state_dict": optax_to_torch_adam_sd(
-            state.d_opt, state.d_params, "critic", cfg
-        ),
-    }
-    with open(path, "wb") as f:
-        pickle.dump(ckpt, f)
+    match every reference config: lr 1e-4, betas (0.5, 0.999)).
+
+    The write is atomic (``.tmp`` + rename — ``is_complete_checkpoint``
+    skips in-flight temps, so a crash mid-write resumes from the previous
+    epoch instead of dying on a truncated pickle).  ``block=False``
+    (params key ``checkpoint_async``) returns immediately and runs the
+    device→host pull + pickle in a background thread, overlapping the
+    next epoch's on-device compute; at most one write is in flight (the
+    next save joins the previous first, preserving resume's
+    latest-complete ordering), and callers MUST :func:`wait` before
+    relying on the file — the training loop does before it returns.  The
+    bytes written are identical either way."""
+    # snapshot the histories NOW — the caller keeps appending to these
+    # lists while an async write is in flight
+    g_losses = list(g_losses)
+    d_losses = list(d_losses)
+
+    def _write():
+        ckpt = {
+            "format": _NATIVE_TAG,
+            "start_time": start_time,
+            "epoch": epoch,
+            "g_losses": g_losses,
+            "d_losses": d_losses,
+            "g_state_dict": torch_compat.generator_to_torch_sd(
+                _to_numpy(state.g_params), as_torch=False
+            ),
+            "d_state_dict": torch_compat.critic_to_torch_sd(
+                _to_numpy(state.d_params), as_torch=False
+            ),
+            "g_optimizer_state_dict": optax_to_torch_adam_sd(
+                state.g_opt, state.g_params, "generator", cfg
+            ),
+            "d_optimizer_state_dict": optax_to_torch_adam_sd(
+                state.d_opt, state.d_params, "critic", cfg
+            ),
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(ckpt, f)
+        os.replace(tmp, path)
+
+    if block:
+        wait()  # keep strict write ordering when modes mix
+        _write()
+        return
+
+    import threading
+
+    global _async_thread
+    wait()  # one in-flight write at a time; surfaces the previous error
+    state = _device_snapshot(state)  # donation-safe (see _device_snapshot)
+
+    def _bg():
+        try:
+            _write()
+        except BaseException as e:  # re-raised by wait()
+            _async_error.append(e)
+
+    _async_thread = threading.Thread(target=_bg, daemon=True)
+    _async_thread.start()
 
 
 def load(path: str) -> dict:

@@ -46,6 +46,66 @@ def _plot_losses(g_losses, d_losses, epoch, total_epochs, batch, n_batches, dir_
     plt.close()
 
 
+class _AsyncPlotter:
+    """Latest-wins background loss plotting (params ``plot_async``).
+
+    A full-history matplotlib redraw costs ~0.5 s on a 1-core host and
+    the reference cadence redraws every 10 batches — serialized with the
+    training loop, that is pure wall time the device spends idle.  This
+    worker draws on a daemon thread so redraws overlap on-device compute,
+    and keeps only the NEWEST pending request (a backlogged redraw of an
+    older history is useless — the next one repaints the same file with
+    more data).  :meth:`flush` drains the queue before ``run()`` returns,
+    so the final ``train_losses.png`` is identical to the sync path's."""
+
+    def __init__(self):
+        import threading
+
+        self._cv = threading.Condition()
+        self._pending = None
+        self._busy = False
+        self._live = False  # worker committed to draining _pending
+        # (checked instead of Thread.is_alive(): a worker that already
+        # decided to exit can still report alive, losing the submission)
+
+    def submit(self, *args):
+        import threading
+
+        with self._cv:
+            self._pending = args
+            if not self._live:
+                self._live = True
+                threading.Thread(target=self._worker, daemon=True).start()
+            self._cv.notify_all()
+
+    def _worker(self):
+        while True:
+            with self._cv:
+                if self._pending is None:
+                    self._busy = False
+                    self._live = False
+                    self._cv.notify_all()
+                    return
+                args = self._pending
+                self._pending = None
+                self._busy = True
+            try:
+                _plot_losses(*args)
+            except Exception:
+                pass  # plotting is best-effort, same as the sync path
+            with self._cv:
+                self._busy = False
+                self._cv.notify_all()
+
+    def flush(self):
+        with self._cv:
+            while self._pending is not None or self._busy:
+                self._cv.wait()
+
+
+_plotter = _AsyncPlotter()
+
+
 def run(params, plot: bool = True) -> None:
     start_time = time()
     print(timelog(f"Run waveform_train for {params.dir_path}", start_time))
@@ -394,10 +454,18 @@ def _train_loop(
                 g_loss_total = g_loss_sum
                 d_loss_total = d_loss_sum
                 if plot and comm.is_primary():
-                    _plot_losses(
-                        g_losses, d_losses, epoch, total_epochs, i, n_batches,
-                        params.dir_path,
-                    )
+                    if getattr(params, "plot_async", False):
+                        # snapshot the histories — the loop keeps
+                        # appending while the worker draws
+                        _plotter.submit(
+                            list(g_losses), list(d_losses), epoch,
+                            total_epochs, i, n_batches, params.dir_path,
+                        )
+                    else:
+                        _plot_losses(
+                            g_losses, d_losses, epoch, total_epochs, i,
+                            n_batches, params.dir_path,
+                        )
 
         ckpt_path = os.path.join(
             params.checkpoint_dir_path, f"{epoch:03d}.checkpoint"
@@ -425,15 +493,20 @@ def _train_loop(
         elif comm.is_primary():
             # single-writer discipline: on a multi-controller pod only
             # process 0 writes the pickle (every process holds the same
-            # replicated state)
+            # replicated state).  checkpoint_async overlaps the
+            # device→host pull + pickle with the next epoch's compute
+            # (identical bytes; flushed below before run() returns).
             ckpt_io.save(
                 ckpt_path, start_time=start_time, epoch=epoch,
                 g_losses=g_losses, d_losses=d_losses, state=save_state,
                 cfg=cfg,
+                block=not getattr(params, "checkpoint_async", False),
             )
         epoch += 1
 
     try:
+        _plotter.flush()  # final train_losses.png identical to sync path
+        ckpt_io.wait()
         orbax_io.wait()
     finally:
         # finally: a primary-side flush failure must still release

@@ -179,6 +179,7 @@ def test_train_profile_fast_bundle(tmp_path):
     assert tc.reuse_pred is True
     assert params.rng_impl == "rbg"
     assert params.shape_bucket is True
+    assert params.checkpoint_async is True
     assert params.data["train_profile"] == "fast"  # caller dict unmutated
     assert "train_dtype" not in params.data
 
@@ -199,6 +200,7 @@ def test_train_profile_fast_bundle(tmp_path):
     params2 = Params(str(p))
     assert params2.train_profile == "reference"
     assert params2.shape_bucket is False
+    assert params2.checkpoint_async is False
     assert TrainConfig.from_params(params2).compute_dtype == "float32"
 
 

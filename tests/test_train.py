@@ -185,6 +185,78 @@ def test_checkpoint_roundtrip(tmp_path, tiny_setup):
     assert int(restored.g_opt[0].count) == int(state2.g_opt[0].count)
 
 
+def test_checkpoint_async_bytes_identical(tmp_path, tiny_setup):
+    """``block=False`` (params ``checkpoint_async``) writes the exact
+    same bytes as the sync path, snapshots the loss histories at call
+    time (the training loop keeps appending while the write is in
+    flight), and survives the caller's state buffers being donated to
+    the next step."""
+    cfg, state, scg, rhc = tiny_setup
+    state2, _, _ = train_step(_clone(state), scg, rhc, jax.random.key(2), cfg)
+    sync_p = str(tmp_path / "001.checkpoint")
+    async_p = str(tmp_path / "001a.checkpoint")
+    ckpt_io.save(sync_p, start_time=1.0, epoch=1, g_losses=[1.0],
+                 d_losses=[2.0, 3.0], state=state2, cfg=cfg)
+    g, d = [1.0], [2.0, 3.0]
+    ckpt_io.save(async_p, start_time=1.0, epoch=1, g_losses=g, d_losses=d,
+                 state=state2, cfg=cfg, block=False)
+    g.append(99.0)
+    d.append(99.0)
+    # donate state2's buffers to a new step while the write is in flight
+    # (run.py does exactly this: next epoch starts before the write lands)
+    train_step(state2, scg, rhc, jax.random.key(3), cfg)
+    ckpt_io.wait()
+    with open(sync_p, "rb") as f1, open(async_p, "rb") as f2:
+        assert f1.read() == f2.read()
+    assert not os.path.exists(async_p + ".tmp")  # atomic rename landed
+
+
+def test_checkpoint_async_error_surfaces(tmp_path, tiny_setup):
+    """A failed background write must raise at wait(), not vanish."""
+    cfg, state, *_ = tiny_setup
+    bad = str(tmp_path / "no_such_dir" / "000.checkpoint")
+    ckpt_io.save(bad, start_time=0.0, epoch=0, g_losses=[], d_losses=[],
+                 state=state, cfg=cfg, block=False)
+    with pytest.raises(FileNotFoundError):
+        ckpt_io.wait()
+    ckpt_io.wait()  # error consumed; writer usable again
+
+
+def test_checkpoint_tmp_excluded_from_resume(tmp_path):
+    """An in-flight ``.tmp`` (crash mid-async-write) must not be picked
+    as the resume point — resume falls back to the previous epoch."""
+    (tmp_path / "004.checkpoint").write_bytes(b"x")
+    (tmp_path / "005.checkpoint.tmp").write_bytes(b"partial")
+    assert ckpt_io.get_last_checkpoint_path(str(tmp_path)) == "004.checkpoint"
+
+
+def test_async_plotter_latest_wins_and_flush(tmp_path):
+    """The background plotter (params ``plot_async``) collapses
+    backlogged redraws to the newest and flush() leaves the SAME final
+    png bytes as a sync draw of the last submission."""
+    pytest.importorskip("matplotlib")
+    from scgrhc.train.run import _AsyncPlotter, _plot_losses
+
+    sync_dir = tmp_path / "sync"
+    async_dir = tmp_path / "async"
+    sync_dir.mkdir()
+    async_dir.mkdir()
+    g, d = [1.0, 2.0, 3.0], [4.0, 5.0]
+    _plot_losses(g, d, 2, 3, 9, 10, str(sync_dir))
+
+    p = _AsyncPlotter()
+    for k in range(5):  # stale submissions must be skipped, not queued
+        p.submit([0.0] * (k + 1), [0.0], 0, 3, k, 10, str(async_dir))
+    p.submit(list(g), list(d), 2, 3, 9, 10, str(async_dir))
+    p.flush()
+    assert (async_dir / "train_losses.png").read_bytes() == (
+        sync_dir / "train_losses.png"
+    ).read_bytes()
+    # reusable after drain (worker thread exits when idle)
+    p.submit(list(g), list(d), 2, 3, 9, 10, str(async_dir))
+    p.flush()
+
+
 def test_checkpoint_torch_interop(tmp_path, tiny_setup):
     """export_torch → torch.load → reference-architecture modules load it;
     and a torch.save checkpoint loads back through ckpt_io.load."""
@@ -402,7 +474,12 @@ def test_train_stage_and_resume(tmp_path, monkeypatch):
     ckpts = sorted(os.listdir(params.checkpoint_dir_path))
     assert ckpts == ["000.checkpoint", "001.checkpoint"]
 
+    # resume leg also exercises the async-writer wiring (checkpoint_async
+    # / plot_async): the stage must flush before returning, so the new
+    # checkpoint is durable and complete right here
     cfg["total_epochs"] = 3
+    cfg["checkpoint_async"] = True
+    cfg["plot_async"] = True
     cfg_path.write_text(json.dumps(cfg))
     train_run(Params(str(cfg_path)), plot=False)
     ckpts = sorted(os.listdir(params.checkpoint_dir_path))
