@@ -87,7 +87,7 @@ def bench_jax(dtype="float32", batch=None):
     if dtype != "float32":
         g_params = generator.cast_params(g_params, jnp.dtype(dtype))
     scg = jax.random.uniform(jax.random.key(1), (batch, IN_CHANNELS, T), jnp.float32)
-    if dtype != "float32":
+    if dtype not in ("float32", "int8"):  # int8 quantizes weights, not input
         scg = scg.astype(jnp.dtype(dtype))
 
     fwd = jax.jit(

@@ -11,7 +11,10 @@ Additions over the reference (all optional, defaulted):
                         The reference's train/valid/test split is unseeded
                         (reference: recordutil.py:191-192); ours is seeded so
                         experiments are reproducible.
-  * ``dtype``         — compute dtype for the model ("float32" | "bfloat16").
+  * ``dtype``         — compute dtype for the model ("float32" | "bfloat16" |
+                        "int8" — int8 is inference-only post-training
+                        quantization, models.quant; measured NEGATIVE on this
+                        chip's conv path, kept documented — BENCH.md).
   * ``eval_batch``    — batch size for vmapped evaluation (reference
                         evaluates segment-by-segment at batch 1,
                         waveform_test.py:58-67; we batch on the MXU).
@@ -120,6 +123,10 @@ class Params:
             seed = self._draw_shared_seed()
         self.seed = seed
         self.dtype = d.get("dtype", "float32")
+        if self.dtype not in ("float32", "bfloat16", "int8"):
+            raise ValueError(
+                f"dtype must be 'float32', 'bfloat16' or 'int8', got {self.dtype!r}"
+            )
         self.eval_batch = d.get("eval_batch", 1024)
         # "reference" = the pickle dict layout of waveform_train.py:401-411;
         # "orbax" = native sharded-pytree checkpoints (scgrhc.train.orbax_io)
@@ -148,6 +155,12 @@ class Params:
         # Training compute dtype ("float32" | "bfloat16"); bf16 keeps f32
         # master weights/optimizer state (scgrhc.train.wgan TrainConfig)
         self.train_dtype = d.get("train_dtype", "float32")
+        if self.train_dtype not in ("float32", "bfloat16"):
+            # int8 is inference-only (models.quant) — a quantized tree has
+            # no gradient path, so reject it here rather than mid-train
+            raise ValueError(
+                f"train_dtype must be 'float32' or 'bfloat16', got {self.train_dtype!r}"
+            )
         # Critic forward batching per critic step ("off" | "2b" | "3b");
         # per-sample math is identical across modes; "off" measured fastest
         # on-chip (scgrhc.train.wgan, BENCH.md)

@@ -85,7 +85,15 @@ def cast_params(params, dtype):
     ``final`` gives full-precision outputs (bf16 quantizes predictions to
     ~3 significant digits — on near-constant outputs that rounding noise
     can swamp the signal the Pearson gate measures).  Convs accumulate in
-    f32 on the MXU and norm statistics stay f32 either way (see ops.nn)."""
+    f32 on the MXU and norm statistics stay f32 either way (see ops.nn).
+
+    ``dtype=int8`` returns the quantized *inference* tree instead (int8
+    weights + per-channel scales, models.quant) — ``apply`` dispatches on
+    its structure, so every f32 call site works unchanged."""
+    if jnp.dtype(dtype) == jnp.int8:
+        from scgrhc.models import quant
+
+        return quant.quantize_generator(params)
     return {
         k: (v if k == "final"
             else jax.tree.map(lambda a: jnp.asarray(a).astype(dtype), v))
@@ -122,8 +130,22 @@ def apply(params, x, rng=None, train: bool = False, dtype=None,
     never under a second-order gradient.  Takes precedence over
     ``remat`` (the fused backward already rematerializes in VMEM).
     """
+    from scgrhc.models import quant
+
+    if quant.is_quantized(params):
+        # int8 inference tree (cast_params(..., int8)): dropout is an
+        # eval-mode identity, so a train call would silently change
+        # semantics — refuse it instead.
+        if train:
+            raise ValueError("int8 quantized generator is inference-only")
+        return quant.apply(params, x)
     if dtype is None:
         dtype = jax.tree.leaves(params)[0].dtype
+    elif jnp.dtype(dtype) == jnp.int8:
+        raise ValueError(
+            "dtype=int8 requires a quantized weight tree — call "
+            "generator.cast_params(params, jnp.int8) first"
+        )
     if conv_backend == "pallas":
         from scgrhc.ops.pallas.conv_block import conv_block_fused as block
     elif remat:
