@@ -76,9 +76,19 @@ def _emit(metric, value, unit, vs_baseline=None, **extra):
 # -- inference (the driver headline) ------------------------------------------
 
 
-def bench_jax(dtype="float32", batch=None):
+def bench_jax(dtype="float32", batch=None, depth=8):
+    """Chip inference throughput: ONE jitted program scans ``depth``
+    distinct chunks of ``batch`` segments (carrying only a scalar sum),
+    with one scalar readback per call — the same whole-program shape the
+    epoch-scan train bench uses, so the tunnel's per-dispatch round trip
+    (~30 ms on this machine; a co-located PCIe host would not see it)
+    amortizes over depth×batch segments instead of taxing every batch.
+    Distinct per-step inputs keep XLA from hoisting the forward out of
+    the scan and mirror eval's real chunk stream.  ``depth=0`` restores
+    the round-2 per-dispatch timing (one chunk per readback)."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from scgrhc.models import generator
 
@@ -86,15 +96,28 @@ def bench_jax(dtype="float32", batch=None):
     g_params = generator.init(jax.random.key(0), IN_CHANNELS)
     if dtype != "float32":
         g_params = generator.cast_params(g_params, jnp.dtype(dtype))
-    scg = jax.random.uniform(jax.random.key(1), (batch, IN_CHANNELS, T), jnp.float32)
+    shape = ((batch, IN_CHANNELS, T) if depth == 0
+             else (depth, batch, IN_CHANNELS, T))
+    scg = jax.random.uniform(jax.random.key(1), shape, jnp.float32)
     if dtype not in ("float32", "int8"):  # int8 quantizes weights, not input
         scg = scg.astype(jnp.dtype(dtype))
 
-    fwd = jax.jit(
-        lambda p, x: jnp.sum(generator.apply(p, x, train=False).astype(jnp.float32))
-    )
+    if depth == 0:
+        fwd = jax.jit(
+            lambda p, x: jnp.sum(generator.apply(p, x, train=False).astype(jnp.float32))
+        )
+    else:
+        def _scan(p, xs):
+            def step(acc, x):
+                y = generator.apply(p, x, train=False)
+                return acc + jnp.sum(y.astype(jnp.float32)), None
+
+            acc, _ = lax.scan(step, jnp.float32(0.0), xs)
+            return acc
+
+        fwd = jax.jit(_scan)
     per_iter, iters = _readback_time(fwd, g_params, scg)
-    return batch / per_iter, {"iters": iters, "batch": batch}
+    return max(1, depth) * batch / per_iter, {"iters": iters, "batch": batch}
 
 
 def bench_torch_reference():
@@ -134,11 +157,13 @@ def _torch_oracles():
 
 def run_inference(args):
     batch = args.infer_batch or None
-    sps, info = bench_jax(dtype=args.dtype, batch=batch)
+    sps, info = bench_jax(dtype=args.dtype, batch=batch, depth=args.depth)
     ref = bench_torch_reference()
     extra = {} if args.dtype == "float32" else {"dtype": args.dtype}
     if batch:
         extra["batch"] = info["batch"]
+    if args.depth == 0:
+        extra["timing"] = "per-dispatch"
     _emit("generator_inference_throughput", sps, "segments/s/chip",
           (sps / ref) if ref else None, **extra)
 
@@ -568,6 +593,10 @@ def main(argv=None):
     ap.add_argument("--infer-batch", type=int, default=0,
                     help="inference-mode batch size (0 = the headline's "
                          f"default {BATCH})")
+    ap.add_argument("--depth", type=int, default=8,
+                    help="inference-mode scan depth: chunks per dispatched "
+                         "program (0 = round-2 per-dispatch timing, one "
+                         "tunnel round-trip per chunk)")
     ap.add_argument("--compile-budget", type=float, default=0.0,
                     help="seconds to wait for the (child-process) run before "
                          "emitting a compile-budget-exceeded line; 0 = no "
