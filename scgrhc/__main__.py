@@ -31,7 +31,9 @@ def main(argv: list[str] | None = None) -> int:
             "       scgrhc demo [dir] [--epochs N] [--records N] [--seconds S]\n"
             "                                        zero-setup synthetic E2E demo\n"
             "       scgrhc export <dir> <ckpt|best|last> [out]\n"
-            "                                        torch.save file for reference tools"
+            "                                        torch.save file for reference tools\n"
+            "       scgrhc export-loaders <dir> [out_dir]\n"
+            "                                        genuine torch DataLoader pickles"
         )
         return 0
     import scgrhc
