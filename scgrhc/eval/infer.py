@@ -25,16 +25,20 @@ def _chunk_scores_impl(g_params, scg, rhc, mm_rhc, dtype: str):
     pred = generator.apply(g_params, scg, train=False, dtype=jnp.dtype(dtype))
     lo = mm_rhc[:, :1].astype(jnp.float32)
     span = (mm_rhc[:, 1:] - mm_rhc[:, :1]).astype(jnp.float32)
-    x = rhc[:, 0, :] * span + lo  # real, denormalized
+    x = rhc[:, 0, :] * span + lo  # real, denormalized — metrics input only
     y = pred[:, 0, :].astype(jnp.float32) * span + lo  # predicted, denormalized
-    return x, y, metrics.segment_scores(x, y)
+    return y, metrics.segment_scores(x, y)
 
 
 @partial(jax.jit, static_argnames=("n", "dtype"))
 def _chunk_scores(g_params, scg, rhc, mm_rhc, n: int, dtype: str = "float32"):
     """One chunk: forward → denorm → metrics.  scg (B, C, T), rhc (B, 1, T),
     mm_rhc (B, 2).  Denormalization matches waveform_test.py:21-25,64-67.
-    Denorm + metrics always run in f32, whatever the model compute dtype."""
+    Denorm + metrics always run in f32, whatever the model compute dtype.
+    The real waveform is NOT returned: it is checkpoint-independent and
+    the host reconstructs it from store arrays (:func:`host_real`), so the
+    device→host transfer — the eval-all bottleneck on remote-TPU links —
+    carries only predictions and (B,)-sized scores."""
     return _chunk_scores_impl(g_params, scg, rhc, mm_rhc, dtype)
 
 
@@ -43,18 +47,25 @@ def _chunk_scores_stacked(stacked_params, scg, rhc, mm_rhc, n: int, dtype: str):
     """K checkpoints' generators over ONE segment chunk in a single program:
     every weight leaf carries a leading (K,) axis and the forward is vmapped
     over it (the reference reloads and loops checkpoints serially,
-    waveform_test.py:119-154).  Returns (x (B, T), ys (K, B, T), scores
-    pytree with (K, B) leaves)."""
-    lo = mm_rhc[:, :1].astype(jnp.float32)
-    span = (mm_rhc[:, 1:] - mm_rhc[:, :1]).astype(jnp.float32)
-    x = rhc[:, 0, :] * span + lo  # real — checkpoint-independent
+    waveform_test.py:119-154).  Returns (ys (K, B, T), scores pytree with
+    (K, B) leaves); the real waveform stays host-side (:func:`host_real`)."""
 
     def one(p):
-        _, y, sc = _chunk_scores_impl(p, scg, rhc, mm_rhc, dtype)
-        return y, sc
+        return _chunk_scores_impl(p, scg, rhc, mm_rhc, dtype)
 
-    ys, scores = jax.vmap(one)(stacked_params)
-    return x, ys, scores
+    return jax.vmap(one)(stacked_params)
+
+
+def host_real(store):
+    """The denormalized real RHC, computed host-side from the store's own
+    arrays: ``rhc * (max - min) + min`` with f32 elementwise ops — the same
+    arithmetic the device denorm performs (waveform_test.py:21-25), on the
+    same f32 inputs, so values agree to the last ulp (modulo fused
+    multiply-add in the XLA kernel) while costing zero device→host bytes."""
+    mm32 = np.asarray(store.minmax_rhc, np.float32)
+    lo = mm32[:, :1]
+    span = mm32[:, 1:] - mm32[:, :1]
+    return store.rhc[:, 0, :] * span + lo
 
 
 def predict_split(
@@ -92,7 +103,7 @@ def predict_split(
     if jnp.dtype(dtype) != jnp.float32:
         g_params = generator.cast_params(g_params, jnp.dtype(dtype))
 
-    xs, ys, scores = [], [], []
+    ys, scores = [], []
     for s in range(0, n, batch):
         e = min(s + batch, n)
         pad = batch - (e - s)
@@ -109,13 +120,13 @@ def predict_split(
             scg = place_global(scg, sharding)
             rhc = place_global(rhc, sharding)
             mm_c = place_global(mm_c, sharding)
-        x, y, sc = _chunk_scores(g_params, scg, rhc, mm_c, batch, dtype)
+        y, sc = _chunk_scores(g_params, scg, rhc, mm_c, batch, dtype)
         keep = e - s
-        xs.append(np.asarray(x[:keep]))
         ys.append(np.asarray(y[:keep]))
         scores.append({k: np.asarray(v[:keep]) for k, v in sc.items()})
 
-    real = np.concatenate(xs) if xs else np.zeros((0, store.segment_samples), np.float32)
+    real = (host_real(store) if n
+            else np.zeros((0, store.segment_samples), np.float32))
     pred = np.concatenate(ys) if ys else np.zeros((0, store.segment_samples), np.float32)
     merged = {
         k: np.concatenate([s[k] for s in scores]) if scores else np.zeros(0)
@@ -175,7 +186,7 @@ def predict_split_multi(
         if len(group) < stack:  # pad-to-static: one compile for all groups
             group = group + [group[-1]] * (stack - len(group))
         stacked = stack_params(group)
-        xs, yss, scs = [], [], []
+        yss, scs = [], []
         for s in range(0, n, batch):
             e = min(s + batch, n)
             pad = batch - (e - s)
@@ -188,13 +199,12 @@ def predict_split_multi(
                 scg = place_global(scg, sharding)
                 rhc = place_global(rhc, sharding)
                 mm_c = place_global(mm_c, sharding)
-            x, ys, sc = _chunk_scores_stacked(stacked, scg, rhc, mm_c, batch, dtype)
+            ys, sc = _chunk_scores_stacked(stacked, scg, rhc, mm_c, batch, dtype)
             keep = e - s
-            xs.append(np.asarray(x[:keep]))
             yss.append(np.asarray(ys[:, :keep]))
             scs.append({kk: np.asarray(v[:, :keep]) for kk, v in sc.items()})
 
-        real = np.concatenate(xs)
+        real = host_real(store)
         preds = np.concatenate(yss, axis=1)  # (stack, N, T)
         merged = {
             kk: np.concatenate([s[kk] for s in scs], axis=1) for kk in scs[0]
