@@ -363,57 +363,58 @@ def rdrecord_digital(record_path: str):
     return d_signal, gains, baselines, sentinels
 
 
-def wrrecord(
-    record_path: str,
-    fs: float,
-    sig_names: list[str],
-    p_signal: np.ndarray,
-    gain: float = 1000.0,
-    baseline: int = 0,
-    fmt: str = "16",
-    units: str = "mV",
-) -> None:
-    """Write a WFDB record (format 16, 212, 310, or 311; single
-    interleaved .dat).
+# Writable ADC range per format.  The lower bound excludes the sentinel
+# value (SENTINELS) so a legitimately clipped sample can never round-trip
+# to NaN; fmt 8 is bounded by its int8 difference stream instead (checked
+# in _encode_stream).
+_WRITE_RANGE = {
+    "16": (-32767, 32767),
+    "61": (-32767, 32767),
+    "32": (-(2**31) + 1, 2**31 - 1),
+    "24": (-8388607, 8388607),
+    "80": (-127, 127),
+    "160": (-32767, 32767),
+    "212": (-2047, 2047),
+    "310": (-511, 511),
+    "311": (-511, 511),
+    "8": (-(2**31) + 1, 2**31 - 1),
+}
 
-    Used by synthetic-dataset fixtures; physical values are quantized through
-    the ADC model, so ``rdrecord(wrrecord(x))`` matches ``x`` to 1/gain.
-    """
-    if fmt not in ("16", "212", "310", "311"):
-        raise ValueError("writer supports formats 16/212/310/311 only")
-    p_signal = np.asarray(p_signal, dtype=np.float64)
-    sig_len, n_sig = p_signal.shape
-    if n_sig != len(sig_names):
-        raise ValueError("p_signal column count != len(sig_names)")
-    record_name = os.path.basename(record_path)
-    dat_name = record_name + ".dat"
+_ADC_RES = {
+    "16": 16, "61": 16, "32": 32, "24": 24, "80": 8, "160": 16,
+    "212": 12, "310": 10, "311": 10, "8": 8,
+}
 
-    adc = np.round(p_signal * gain + baseline)
-    if fmt == "16":
-        info = np.iinfo(np.int16)
-        adc = np.clip(adc, info.min, info.max).astype(np.int32)
-    elif fmt == "212":  # 12-bit two's complement
-        adc = np.clip(adc, -2048, 2047).astype(np.int32)
-    else:  # 310/311: 10-bit two's complement
-        adc = np.clip(adc, -512, 511).astype(np.int32)
 
-    with open(record_path + ".hea", "w") as f:
-        f.write(f"{record_name} {n_sig} {fs:g} {sig_len}\n")
-        for j, name in enumerate(sig_names):
-            init_value = int(adc[0, j]) if sig_len else 0
-            checksum = int(np.sum(adc[:, j], dtype=np.int64) & 0xFFFF)
-            f.write(
-                # .12g: %g's default 6 significant digits would round the
-                # calibration gain enough to exceed quantization error
-                f"{dat_name} {fmt} {gain:.12g}({baseline})/{units} "
-                f"{ {'16': 16, '212': 12, '310': 10, '311': 10}[fmt] } "
-                f"{baseline} {init_value} {checksum} 0 {name}\n"
-            )
-
-    flat = adc.reshape(-1)
-    dat_path = os.path.join(os.path.dirname(record_path), dat_name)
+def _encode_stream(flat: np.ndarray, fmt: str, dat_path: str) -> None:
+    """Inverse of :func:`_decode_stream`: flat int32 sample (or, for fmt 8,
+    difference) stream → ``.dat`` bytes."""
     if fmt == "16":
         flat.astype("<i2").tofile(dat_path)
+    elif fmt == "61":
+        flat.astype(">i2").tofile(dat_path)
+    elif fmt == "32":
+        flat.astype("<i4").tofile(dat_path)
+    elif fmt == "24":
+        u = (flat & 0xFFFFFF).astype(np.uint32)  # two's complement, low 3 B
+        b = np.empty((flat.size, 3), dtype=np.uint8)
+        b[:, 0] = u & 0xFF
+        b[:, 1] = (u >> 8) & 0xFF
+        b[:, 2] = (u >> 16) & 0xFF
+        b.tofile(dat_path)
+    elif fmt == "80":
+        (flat + 128).astype(np.uint8).tofile(dat_path)
+    elif fmt == "160":
+        (flat + 32768).astype("<u2").tofile(dat_path)
+    elif fmt == "8":
+        info = np.iinfo(np.int8)
+        if flat.min() < info.min or flat.max() > info.max:
+            raise ValueError(
+                "format 8 stores int8 first differences; the signal's "
+                f"sample-to-sample slew ({flat.min()}..{flat.max()}) "
+                "does not fit — use a wider format or rescale"
+            )
+        flat.astype(np.int8).tofile(dat_path)
     elif fmt == "212":
         # pack 12-bit pairs: sample0 low byte | [hi4(s1)<<4 | hi4(s0)] | s1 low
         if flat.size % 2:
@@ -439,3 +440,63 @@ def wrrecord(
             w.astype("<u2").tofile(dat_path)
         else:
             (s0 | (s1 << 10) | (s2 << 20)).astype("<u4").tofile(dat_path)
+
+
+def wrrecord(
+    record_path: str,
+    fs: float,
+    sig_names: list[str],
+    p_signal: np.ndarray,
+    gain: float = 1000.0,
+    baseline: int = 0,
+    fmt: str = "16",
+    units: str = "mV",
+) -> None:
+    """Write a WFDB record (any supported read format; single interleaved
+    ``.dat``).
+
+    Used by synthetic-dataset fixtures and the all-format round-trip fuzz
+    tests; physical values are quantized through the ADC model, so
+    ``rdrecord(wrrecord(x))`` matches ``x`` to 1/(2·gain) when the signal
+    fits the format's ADC range (out-of-range samples clip, never landing
+    on the NaN sentinel).  Format 8 stores int8 first differences and
+    raises if the quantized slew exceeds that range.
+    """
+    if fmt not in _WRITE_RANGE:
+        raise ValueError(
+            f"writer supports formats {'/'.join(sorted(_WRITE_RANGE))} only"
+        )
+    p_signal = np.asarray(p_signal, dtype=np.float64)
+    sig_len, n_sig = p_signal.shape
+    if n_sig != len(sig_names):
+        raise ValueError("p_signal column count != len(sig_names)")
+    record_name = os.path.basename(record_path)
+    dat_name = record_name + ".dat"
+
+    lo, hi = _WRITE_RANGE[fmt]
+    adc = np.clip(np.round(p_signal * gain + baseline), lo, hi).astype(
+        np.int32
+    )
+
+    with open(record_path + ".hea", "w") as f:
+        f.write(f"{record_name} {n_sig} {fs:g} {sig_len}\n")
+        for j, name in enumerate(sig_names):
+            init_value = int(adc[0, j]) if sig_len else 0
+            checksum = int(np.sum(adc[:, j], dtype=np.int64) & 0xFFFF)
+            f.write(
+                # .12g: %g's default 6 significant digits would round the
+                # calibration gain enough to exceed quantization error
+                f"{dat_name} {fmt} {gain:.12g}({baseline})/{units} "
+                f"{_ADC_RES[fmt]} "
+                f"{baseline} {init_value} {checksum} 0 {name}\n"
+            )
+
+    if fmt == "8" and sig_len:
+        # decode is samples[k] = init_value + cumsum(diffs)[k] per signal
+        # (init_value above is adc[0], so the first stored diff is 0)
+        flat = np.diff(adc, axis=0, prepend=adc[:1]).reshape(-1)
+    else:
+        flat = adc.reshape(-1)
+    _encode_stream(
+        flat, fmt, os.path.join(os.path.dirname(record_path), dat_name)
+    )
