@@ -36,8 +36,10 @@ import numpy as np
 
 IN_CHANNELS = 3  # flagship config waveform_06
 T = 750
-BATCH = 2048  # measured f32 knee on v5e (BENCH.md: 1024→14.1k, 2048→17.3k,
-              # 3072→16.2k seg/s; 4096 OOMs); bf16's knee is 4096 (23.2k)
+BATCH = 2048  # measured knee on v5e under scan-pipelined timing (BENCH.md:
+              # f32 1024→22.1k, 2048→22.5k, 3072→20.2k; bf16 2048→29.1k,
+              # 4096→27.7k — bf16's old per-dispatch knee at 4096 was
+              # round-trip amortization, not a compute preference)
 
 
 def _readback_time(fn, *args, seconds=3.0):
