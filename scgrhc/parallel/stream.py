@@ -109,6 +109,24 @@ def _calib_frame_norm(adc, gain, base, sentinel, t: int, hop: int | None,
     return _frame_norm(phys, t, hop, backend)
 
 
+def _bucket_windows(n: int) -> int:
+    """Round a window count up to a 1/4-octave bucket (4 buckets per
+    power of two: mantissa 4q..7q at quantum q = 2^(⌊log2 n⌋−2)).
+
+    The fused serving program (:func:`_fused_stream`) bakes the framed
+    shape into the executable, so without bucketing EVERY novel record
+    length recompiles the entire U-Net (~21 s through this machine's
+    remote-compile tunnel, minutes without it).  Bucketing bounds the
+    program population to ≤4 per octave at ≤25% padded-window overhead —
+    and since the tunnel bottleneck is upload bytes, the input is
+    truncated/zero-padded host-side to exactly the bucket's sample count,
+    so the byte overhead shares the same ≤25% bound."""
+    if n <= 4:
+        return n
+    q = 1 << (n.bit_length() - 3)  # 2^(floor(log2 n) - 2)
+    return -(-n // q) * q
+
+
 def stream_infer(
     g_params,
     record_scg,
@@ -132,9 +150,20 @@ def stream_infer(
     The window dim is padded to a multiple of ``batch`` (one compiled
     program regardless of record length) and, when ``mesh`` is given,
     sharded across its first axis so each chunk's windows split over
-    chips.
+    chips.  Records small enough for the single-dispatch fast path share
+    fused programs per window-count bucket (≤4 per octave —
+    :func:`_bucket_windows`).
     """
     t = segment_samples
+    if not 0 <= overlap < t:
+        # hop = t - overlap must stay positive: overlap == t divides by
+        # zero below, overlap > t frames zero windows but _blend would
+        # then fabricate (t - hop) zeros.  Reachable from the serve
+        # daemon's client-supplied ``overlap_s`` — reject loudly (serve
+        # turns this into a per-request error).
+        raise ValueError(
+            f"overlap must be in [0, segment_samples={t}), got {overlap}"
+        )
     hop = t - overlap if overlap else t
     c, L = record_scg.shape
     n = (L - t) // hop + 1 if L >= t else 0
@@ -147,15 +176,28 @@ def stream_infer(
         # and one packed scalar upload — see _fused_stream.  This is the
         # serving steady-state path; latency through a high-round-trip
         # link drops ~2× vs the chunked dispatch chain below.
+        #
+        # The record is truncated/zero-padded to its window-count
+        # BUCKET's sample span (_bucket_windows) so nearby lengths share
+        # one compiled program; the ≤25% padded windows read only the
+        # zero tail (true windows end at hop·(n−1)+t ≤ L) and are
+        # dropped after readback.
+        n_pad = _bucket_windows(n)
+        l_pad = hop * (n_pad - 1) + t
+        rec = record_scg[:, :l_pad]
+        if l_pad > L:
+            rec = np.concatenate(
+                [rec, np.zeros((c, l_pad - L), rec.dtype)], axis=1
+            )
         lo, hi = rhc_minmax if rhc_minmax is not None else (0.0, 1.0)
         if calibration is not None:
             gain, base, sentinel = (np.asarray(v, np.float32)
                                     for v in calibration)
-            x = jnp.asarray(record_scg)  # int16: 2-byte H2D upload
+            x = jnp.asarray(rec)  # int16: 2-byte H2D upload
         else:
             gain = np.zeros(c, np.float32)  # gain==0 ⇒ no calibration
             base = sentinel = np.zeros(c, np.float32)
-            x = jnp.asarray(record_scg, dtype=jnp.float32)
+            x = jnp.asarray(rec, dtype=jnp.float32)
         pack = jnp.asarray(
             np.concatenate([gain, base, sentinel,
                             np.asarray([lo, hi], np.float32)])
@@ -163,7 +205,7 @@ def stream_infer(
         pred = np.asarray(
             _fused_stream(g_params, x, pack, t, hop if overlap else None,
                           norm_backend)
-        )
+        )[:n]
         if overlap:
             return _blend(pred, hop, t)
         return pred.reshape(-1)

@@ -135,7 +135,15 @@ def _handle(req: dict, ctx: dict) -> dict:
 
 
 def _warm(ctx, n_windows: int):
-    """Pre-compile the full-batch streaming program on synthetic input."""
+    """Pre-compile the streaming programs a real request will hit.
+
+    Compiles BOTH jit signatures at ``n_windows``'s window-count bucket
+    (every record whose window count lands in the same bucket then shares
+    the compiled program — scgrhc.parallel.stream._bucket_windows): the
+    int16 ADC + on-device-calibration program (the DEFAULT request path —
+    read_record_digital succeeds for every int16-representable format)
+    and the float32 program (the fallback for records without a digital
+    representation)."""
     params = ctx["params"]
     t = params.segment_samples
     c = len(params.in_channels)
@@ -144,6 +152,12 @@ def _warm(ctx, n_windows: int):
         ctx["g_params"],
         rng.random((c, n_windows * t)).astype(np.float32),
         segment_samples=t,
+    )
+    adc = rng.integers(-1000, 1000, (c, n_windows * t), dtype=np.int16)
+    cal = (np.ones(c, np.float32), np.zeros(c, np.float32),
+           np.full(c, -32768.0, np.float32))
+    stream_infer(
+        ctx["g_params"], adc, segment_samples=t, calibration=cal
     )
 
 

@@ -223,3 +223,50 @@ def test_sharded_eval_non_divisible_batch(mesh8):
     r0, p0, s0 = predict_split(g, store, batch=13)
     np.testing.assert_allclose(p1, p0, atol=2e-5)
     np.testing.assert_allclose(s1["pcc_r"], s0["pcc_r"], atol=1e-5)
+
+
+def test_stream_infer_rejects_bad_overlap():
+    g = init_state(jax.random.key(0), 1, TrainConfig()).g_params
+    rec = np.zeros((1, T * 4), np.float32)
+    for bad in (T, T + 5, -1):
+        with pytest.raises(ValueError, match="overlap"):
+            stream_infer(g, rec, segment_samples=T, overlap=bad)
+
+
+def test_stream_infer_bucketed_fast_path():
+    """Nearby record lengths share ONE fused serving program (the
+    window-count bucket), and the padded/truncated windows never leak
+    into the output: values match the unbucketed chunked path."""
+    from scgrhc.parallel import stream as st
+
+    g = init_state(jax.random.key(0), 1, TrainConfig()).g_params
+    rng = np.random.default_rng(11)
+    rec_a = rng.random((1, T * 9 + 3)).astype(np.float32)  # n=9 → bucket 10
+    rec_b = rng.random((1, T * 10)).astype(np.float32)     # n=10 → bucket 10
+
+    out_a = stream_infer(g, rec_a, segment_samples=T, batch=16)
+    size_after_a = st._fused_stream._cache_size()
+    out_b = stream_infer(g, rec_b, segment_samples=T, batch=16)
+    assert st._fused_stream._cache_size() == size_after_a  # same program
+
+    assert out_a.shape == (T * 9,)
+    assert out_b.shape == (T * 10,)
+    chunked_a = stream_infer(g, rec_a, segment_samples=T, batch=2)
+    np.testing.assert_allclose(out_a, chunked_a, atol=2e-5)
+    # overlap mode drops the padded windows before blending too
+    ov = stream_infer(g, rec_a, segment_samples=T, batch=16, overlap=T // 4)
+    assert np.isfinite(ov).all()
+
+
+def test_bucket_windows_shape():
+    from scgrhc.parallel.stream import _bucket_windows
+
+    for n in range(1, 5):
+        assert _bucket_windows(n) == n
+    assert _bucket_windows(5) == 5       # q=1 in the 4..7 octave
+    assert _bucket_windows(9) == 10      # q=2
+    assert _bucket_windows(80) == 80     # q=16, exact boundary
+    assert _bucket_windows(81) == 96
+    for n in range(1, 2000):
+        b = _bucket_windows(n)
+        assert b >= n and (b - n) / n <= 0.25

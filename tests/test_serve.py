@@ -136,3 +136,41 @@ def test_serve_lazy_calibrate(exp_with_ckpt):
     cal = np.asarray(resp[1]["waveform"])
     # calibrated output is on the mmHg scale, not 0..1
     assert np.ptp(cal) > np.ptp(raw)
+
+
+def test_serve_rejects_bad_overlap(exp_with_ckpt):
+    """overlap_s >= segment_size would make the window hop zero (divide
+    by zero) or negative (zero windows, fabricated output); it must be a
+    per-request error, and the daemon must survive it."""
+    served, resp = _serve(
+        exp_with_ckpt,
+        [{"record": "SYN000", "save": False, "overlap_s": 1.5},
+         {"record": "SYN000", "save": False, "overlap_s": 2.0},
+         {"record": "SYN000", "save": False, "overlap_s": 0.5}],
+    )
+    assert "error" in resp[0] and "overlap" in resp[0]["error"]
+    assert "error" in resp[1] and "overlap" in resp[1]["error"]
+    assert resp[2]["record"] == "SYN000"
+    assert served == 1
+
+
+def test_warm_covers_digital_request(exp_with_ckpt):
+    """--warm must pre-compile the signature the DEFAULT request path
+    (int16 ADC + on-device calibration) actually uses, at the record's
+    window-count bucket; the first real request is then a jit-cache hit
+    instead of a full U-Net compile the warm-up was meant to absorb."""
+    from scgrhc.parallel import stream as st
+    from scgrhc.pipeline import serve
+    from scgrhc.pipeline.predict import (
+        load_generator_params,
+        resolve_checkpoint,
+    )
+
+    params = exp_with_ckpt
+    name = resolve_checkpoint(params, "last")
+    ctx = {"params": params, "g_params": load_generator_params(params, name)}
+    serve._warm(ctx, 80)  # synth records: 120 s x 500 Hz / 750 = 80 windows
+    size = st._fused_stream._cache_size()
+    served, resp = _serve(params, [{"record": "SYN000", "save": False}])
+    assert served == 1 and "error" not in resp[0]
+    assert st._fused_stream._cache_size() == size  # no new program
