@@ -40,8 +40,13 @@ def main(argv: list[str] | None = None) -> int:
     from scgrhc.pipeline.run import dispatch
 
     # after argv parsing, before any stage compiles: the platform is
-    # settled now, so the cache dir keys on the resolved backend
-    scgrhc.configure_compilation_cache()
+    # settled now, so the cache dir keys on the resolved backend.
+    # EXCEPT `sweep`: resolving the backend instantiates the device
+    # client, and a subprocess fan-out parent that holds the TPU blocks
+    # every child on exclusive-access hosts — the sweep branch configures
+    # the cache itself only when it compiles in-process (dispatch).
+    if argv[0] != "sweep":
+        scgrhc.configure_compilation_cache()
     return dispatch(argv)
 
 

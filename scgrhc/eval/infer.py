@@ -181,6 +181,7 @@ def predict_split_multi(
         ]
 
     results = []
+    real = host_real(store)  # ONE shared (N, T) array across all groups
     for g0 in range(0, k, stack):
         group = params_list[g0 : g0 + stack]
         if len(group) < stack:  # pad-to-static: one compile for all groups
@@ -204,7 +205,6 @@ def predict_split_multi(
             yss.append(np.asarray(ys[:, :keep]))
             scs.append({kk: np.asarray(v[:, :keep]) for kk, v in sc.items()})
 
-        real = host_real(store)
         preds = np.concatenate(yss, axis=1)  # (stack, N, T)
         merged = {
             kk: np.concatenate([s[kk] for s in scs], axis=1) for kk in scs[0]

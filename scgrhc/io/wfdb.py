@@ -341,6 +341,12 @@ def rdrecord_digital(record_path: str):
     for idx, spec in enumerate(specs):
         groups.setdefault(spec.file_name, []).append(idx)
     for file_name, idxs in groups.items():
+        if len({specs[i].fmt for i in idxs}) != 1:
+            # mixed formats in one interleaved .dat: not representable as a
+            # single decode pass — fall back to the float path, which raises
+            # the explicit "Mixed formats" error (rdrecord above) instead of
+            # silently decoding the whole stream as the first signal's format
+            return None
         fmt = specs[idxs[0]].fmt
         path = os.path.join(dirname, file_name)
         raw = np.fromfile(path, dtype=np.uint8)

@@ -95,6 +95,16 @@ def dispatch(argv: list[str]) -> int:
             # program reload paid once per batch-size class, not per
             # config).  --jobs N keeps process fan-out for multi-chip.
             inproc = jobs <= 1 and overrides.get("train_profile") == "fast"
+        if inproc:
+            # this process is the one compiling — configure the persistent
+            # cache now.  The subproc path must NOT touch jax here: backend
+            # resolution instantiates the device client, and a parent
+            # holding the TPU starves every fanned-out child on
+            # exclusive-access hosts (children configure their own cache
+            # via their __main__).
+            import scgrhc
+
+            scgrhc.configure_compilation_cache()
         dirs = write_experiments(root, **overrides)
         results = run_sweep(dirs, jobs=jobs, inproc=inproc)
         return 0 if all(c == 0 for c in results.values()) else 1

@@ -423,6 +423,44 @@ def _train_loop(
     g_losses, d_losses, g_loss_total, d_loss_total, start_time, n_batches,
     plot,
 ):
+    """Epoch loop + unconditional flush of the async artifact writers.
+
+    The flush/wait MUST run even when the loop raises: the plot worker and
+    the async checkpoint writer are module-global, so an abandoned
+    in-flight write from a failed config would otherwise leak into the
+    NEXT config of an in-process sweep (its first ``save()`` would join —
+    and re-raise the stale error of — the previous run's writer)."""
+    ok = False
+    try:
+        _train_epochs(
+            params, cfg, state, train_loader, rng, epoch, total_epochs,
+            g_losses, d_losses, g_loss_total, d_loss_total, start_time,
+            n_batches, plot,
+        )
+        ok = True
+    finally:
+        try:
+            _plotter.flush()  # final train_losses.png identical to sync path
+            ckpt_io.wait()
+            orbax_io.wait()
+        except Exception:
+            # success path: a silently-dropped checkpoint must fail the
+            # run.  Failure path: the writer state is drained either way;
+            # keep the ORIGINAL loop error, not the secondary one.
+            if ok:
+                raise
+        finally:
+            # a primary-side flush failure must still release
+            # non-primaries parked at the barrier; non-primaries must not
+            # outrun the last write
+            comm.barrier("train_end")
+
+
+def _train_epochs(
+    params, cfg, state, train_loader, rng, epoch, total_epochs,
+    g_losses, d_losses, g_loss_total, d_loss_total, start_time, n_batches,
+    plot,
+):
     mode = getattr(params, "train_mode", "epoch")
     c_pad = _channel_pad_to(params)
     while epoch < total_epochs:
@@ -503,12 +541,3 @@ def _train_loop(
                 block=not getattr(params, "checkpoint_async", False),
             )
         epoch += 1
-
-    try:
-        _plotter.flush()  # final train_losses.png identical to sync path
-        ckpt_io.wait()
-        orbax_io.wait()
-    finally:
-        # finally: a primary-side flush failure must still release
-        # non-primaries parked at the barrier
-        comm.barrier("train_end")  # non-primaries must not outrun the last write

@@ -67,3 +67,50 @@ def test_unknown_sweep_flag():
 
     with pytest.raises(SystemExit):
         pr.dispatch(["sweep", ".", "--bogus"])
+
+
+def test_main_skips_cache_config_for_sweep(monkeypatch):
+    """The sweep parent may fan out child processes; __main__ must not
+    resolve a jax backend first (instantiating the device client starves
+    children on exclusive-access TPU hosts).  Every other command keeps
+    the before-dispatch cache setup."""
+    import scgrhc
+    import scgrhc.pipeline.run as pr
+    from scgrhc.__main__ import main
+
+    configured = []
+    monkeypatch.setattr(
+        scgrhc, "configure_compilation_cache", lambda: configured.append(True)
+    )
+    monkeypatch.setattr(pr, "dispatch", lambda argv: 0)
+    assert main(["sweep", "x", "--jobs", "2"]) == 0
+    assert configured == []
+    assert main(["report", "x"]) == 0
+    assert configured == [True]
+
+
+def test_sweep_configures_cache_only_inproc(monkeypatch, tmp_path):
+    """Inside the sweep branch, only the in-process runner (the process
+    that actually compiles) configures the persistent cache; the subproc
+    fan-out leaves backend resolution to the children."""
+    import scgrhc
+    import scgrhc.pipeline.run as pr
+    import scgrhc.pipeline.sweep as sweep_mod
+    import scgrhc.utils.experiments as exp_mod
+
+    configured = []
+    monkeypatch.setattr(
+        scgrhc, "configure_compilation_cache", lambda: configured.append(True)
+    )
+    monkeypatch.setattr(
+        exp_mod, "write_experiments", lambda root, **kw: ["d1"]
+    )
+    monkeypatch.setattr(
+        sweep_mod, "run_sweep",
+        lambda dirs, jobs, inproc: {d: 0 for d in dirs},
+    )
+
+    assert pr.dispatch(["sweep", str(tmp_path), "--jobs", "2"]) == 0
+    assert configured == []  # subproc fan-out: parent stays backend-free
+    assert pr.dispatch(["sweep", str(tmp_path), "--fast"]) == 0
+    assert configured == [True]  # jobs=1 --fast -> in-process runner

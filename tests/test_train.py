@@ -938,3 +938,55 @@ def test_channel_bucket_step_mode_matches(tiny_setup):
         assert pi == bi
         np.testing.assert_allclose(pd, bd, rtol=1e-6, atol=1e-7)
         np.testing.assert_allclose(pg, bg, rtol=1e-6, atol=1e-7)
+
+
+def test_async_writer_drained_when_train_loop_raises(
+    tmp_path, tiny_setup, monkeypatch
+):
+    """A config that crashes mid-epoch must still flush the module-global
+    async writers: in an in-process sweep the NEXT config's first save()
+    joins the same writer and would otherwise re-raise THIS config's
+    stale error.  The original loop error must win over any secondary
+    flush error."""
+    from scgrhc.train import run as train_run
+
+    cfg, state, *_ = tiny_setup
+    bad = str(tmp_path / "no_such_dir" / "000.checkpoint")
+
+    def boom(*a, **k):
+        ckpt_io.save(bad, start_time=0.0, epoch=0, g_losses=[], d_losses=[],
+                     state=state, cfg=cfg, block=False)
+        raise RuntimeError("mid-epoch crash")
+
+    monkeypatch.setattr(train_run, "_train_epochs", boom)
+    with pytest.raises(RuntimeError, match="mid-epoch crash"):
+        train_run._train_loop(
+            None, cfg, state, None, None, 0, 1, [], [], 0.0, 0.0, 0.0, 0,
+            False,
+        )
+    assert ckpt_io._async_thread is None
+    assert not ckpt_io._async_error
+
+
+def test_train_loop_surfaces_async_error_on_success_path(
+    tmp_path, tiny_setup, monkeypatch
+):
+    """When the epoch loop completes, a silently-dropped background
+    checkpoint write must still fail the run at the final flush."""
+    from scgrhc.train import run as train_run
+
+    cfg, state, *_ = tiny_setup
+    bad = str(tmp_path / "no_such_dir" / "000.checkpoint")
+
+    def quiet_failure(*a, **k):
+        ckpt_io.save(bad, start_time=0.0, epoch=0, g_losses=[], d_losses=[],
+                     state=state, cfg=cfg, block=False)
+
+    monkeypatch.setattr(train_run, "_train_epochs", quiet_failure)
+    with pytest.raises(FileNotFoundError):
+        train_run._train_loop(
+            None, cfg, state, None, None, 0, 1, [], [], 0.0, 0.0, 0.0, 0,
+            False,
+        )
+    assert ckpt_io._async_thread is None
+    assert not ckpt_io._async_error

@@ -265,3 +265,16 @@ def test_nan_segments_are_dropped():
     scg2[2 * t + 1, 1] = np.nan  # poison window 2 via SCG
     segs2 = segment_interval(scg2, rhc, t, -50.0, "rec")
     assert [s.start_idx for s in segs2] == [0]
+
+
+def test_mixed_format_digital_falls_back(tmp_path):
+    """One interleaved .dat holding two different per-signal formats is
+    not decodable as a single stream.  The digital fast path must return
+    None (serve then falls back to rdrecord, whose explicit error is the
+    contract) instead of silently decoding the whole stream as the FIRST
+    signal's format and serving garbage ADC samples."""
+    dat = struct.pack("<4h", 100, 200, 300, 400)
+    rec = _write_record(tmp_path, "smix", ["16", "80"], dat, 2, 2)
+    assert w.rdrecord_digital(rec) is None
+    with pytest.raises(ValueError, match="Mixed formats"):
+        w.rdrecord(rec)
