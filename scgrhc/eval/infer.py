@@ -30,8 +30,8 @@ def _chunk_scores_impl(g_params, scg, rhc, mm_rhc, dtype: str):
     return y, metrics.segment_scores(x, y)
 
 
-@partial(jax.jit, static_argnames=("n", "dtype"))
-def _chunk_scores(g_params, scg, rhc, mm_rhc, n: int, dtype: str = "float32"):
+@partial(jax.jit, static_argnames=("dtype",))
+def _chunk_scores(g_params, scg, rhc, mm_rhc, dtype: str = "float32"):
     """One chunk: forward → denorm → metrics.  scg (B, C, T), rhc (B, 1, T),
     mm_rhc (B, 2).  Denormalization matches waveform_test.py:21-25,64-67.
     Denorm + metrics always run in f32, whatever the model compute dtype.
@@ -42,8 +42,8 @@ def _chunk_scores(g_params, scg, rhc, mm_rhc, n: int, dtype: str = "float32"):
     return _chunk_scores_impl(g_params, scg, rhc, mm_rhc, dtype)
 
 
-@partial(jax.jit, static_argnames=("n", "dtype"))
-def _chunk_scores_stacked(stacked_params, scg, rhc, mm_rhc, n: int, dtype: str):
+@partial(jax.jit, static_argnames=("dtype",))
+def _chunk_scores_stacked(stacked_params, scg, rhc, mm_rhc, dtype: str):
     """K checkpoints' generators over ONE segment chunk in a single program:
     every weight leaf carries a leading (K,) axis and the forward is vmapped
     over it (the reference reloads and loops checkpoints serially,
@@ -120,7 +120,7 @@ def predict_split(
             scg = place_global(scg, sharding)
             rhc = place_global(rhc, sharding)
             mm_c = place_global(mm_c, sharding)
-        y, sc = _chunk_scores(g_params, scg, rhc, mm_c, batch, dtype)
+        y, sc = _chunk_scores(g_params, scg, rhc, mm_c, dtype)
         keep = e - s
         ys.append(np.asarray(y[:keep]))
         scores.append({k: np.asarray(v[:keep]) for k, v in sc.items()})
@@ -200,7 +200,7 @@ def predict_split_multi(
                 scg = place_global(scg, sharding)
                 rhc = place_global(rhc, sharding)
                 mm_c = place_global(mm_c, sharding)
-            ys, sc = _chunk_scores_stacked(stacked, scg, rhc, mm_c, batch, dtype)
+            ys, sc = _chunk_scores_stacked(stacked, scg, rhc, mm_c, dtype)
             keep = e - s
             yss.append(np.asarray(ys[:, :keep]))
             scs.append({kk: np.asarray(v[:, :keep]) for kk, v in sc.items()})

@@ -36,7 +36,7 @@ CSV_COLUMNS = [
 ]
 
 
-def _auto_sharding(batch: int):
+def _auto_sharding():
     """Shard eval chunks over all local chips (multi-chip hosts get
     data-parallel eval with zero configuration).  Non-divisible
     ``eval_batch`` values are fine: predict_split rounds the static chunk
@@ -198,7 +198,7 @@ def run(params, loader_type: str, checkpoint_path: str) -> None:
         )
 
     stack = max(1, int(getattr(params, "eval_stack", 8)))
-    sharding = _auto_sharding(params.eval_batch)
+    sharding = _auto_sharding()
     # channel_bucket: eval programs stop depending on the SCG channel
     # subset (exact — zero weight columns meet zero input channels)
     from scgrhc.models.channel_pad import bucket_for

@@ -100,7 +100,11 @@ def _instance_norm_global(x, axis):
         ss = lax.psum(ss, axis)
         cnt = lax.psum(cnt, axis)
     mean = s / cnt
-    var = ss / cnt - jnp.square(mean)
+    # clamp like ops.nn.instance_norm: one-pass E[x²]−mean² cancellation
+    # can go slightly negative in f32 (worse here — the sums psum over
+    # up-to-millions of samples), and rsqrt of a negative NaNs the whole
+    # record
+    var = jnp.maximum(ss / cnt - jnp.square(mean), 0.0)
     return (x - mean) * lax.rsqrt(var + IN_EPS)
 
 

@@ -55,47 +55,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from scgrhc.ops.nn import IN_EPS
 
+from scgrhc.ops.pallas.common import auto_interpret as _auto_interpret
+from scgrhc.ops.pallas.common import conv3 as _conv3
+from scgrhc.ops.pallas.common import conv3_t as _conv3_t
+from scgrhc.ops.pallas.common import shift_l as _shift_l
+from scgrhc.ops.pallas.common import shift_r as _shift_r
+
 _F32 = jnp.float32
-
-
-def _shift_r(a):
-    """(C, T) → columns moved one right, zero-filled: out[:, t] = a[:, t-1]."""
-    z = jnp.zeros((a.shape[0], 1), a.dtype)
-    return jnp.concatenate((z, a[:, :-1]), axis=1)
-
-
-def _shift_l(a):
-    """(C, T) → columns moved one left, zero-filled: out[:, t] = a[:, t+1]."""
-    z = jnp.zeros((a.shape[0], 1), a.dtype)
-    return jnp.concatenate((a[:, 1:], z), axis=1)
-
-
-def _conv3(ws, x):
-    """k=3 p=1 conv as three shifted matmuls.
-
-    ws (3, O, I) tap-major weights, x (I, T) → (O, T) f32.
-    out[:, t] = ws[0]·x[:, t-1] + ws[1]·x[:, t] + ws[2]·x[:, t+1].
-    """
-    return (
-        jnp.dot(ws[0], _shift_r(x), preferred_element_type=_F32)
-        + jnp.dot(ws[1], x, preferred_element_type=_F32)
-        + jnp.dot(ws[2], _shift_l(x), preferred_element_type=_F32)
-    )
-
-
-def _conv3_t(ws, dc):
-    """Input-gradient of :func:`_conv3`: dx (I, T) from dc (O, T).
-
-    dx[:, s] = ws[0]ᵀ·dc[:, s+1] + ws[1]ᵀ·dc[:, s] + ws[2]ᵀ·dc[:, s-1].
-    The O-axis contraction is expressed through dot_general so no weight
-    transpose is materialized in VMEM.
-    """
-    tdot = partial(
-        jax.lax.dot_general,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=_F32,
-    )
-    return tdot(ws[0], _shift_l(dc)) + tdot(ws[1], dc) + tdot(ws[2], _shift_r(dc))
 
 
 def _in_stats(c):
@@ -199,12 +165,6 @@ def _bwd_call(x, ws, b2, dy, interpret: bool):
         ),
         interpret=interpret,
     )(x, ws, b2, dy)
-
-
-def _auto_interpret(interpret):
-    if interpret is None:
-        return jax.default_backend() != "tpu"
-    return interpret
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -74,6 +74,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from scgrhc.ops.nn import IN_EPS
 
+from scgrhc.ops.pallas.common import auto_interpret as _auto_interpret
+from scgrhc.ops.pallas.common import conv3 as _conv3_flat
+from scgrhc.ops.pallas.common import conv3_t as _conv3_flat_t
+from scgrhc.ops.pallas.common import shift_l as _shift_l
+from scgrhc.ops.pallas.common import shift_r as _shift_r
+
 _F32 = jnp.float32
 
 MODES = ("linear", "relu", "in_relu")
@@ -86,45 +92,10 @@ def pad_t(t: int) -> int:
     return (t // 128 + 1) * 128
 
 
-def _shift_r(a):
-    """(C, L) → columns moved one right, zero-filled."""
-    z = jnp.zeros((a.shape[0], 1), a.dtype)
-    return jnp.concatenate((z, a[:, :-1]), axis=1)
-
-
-def _shift_l(a):
-    z = jnp.zeros((a.shape[0], 1), a.dtype)
-    return jnp.concatenate((a[:, 1:], z), axis=1)
-
-
 def _valid_mask(cols: int, t: int, tp: int):
     """(1, cols) f32 mask of real (non-pad) columns."""
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, cols), 1)
     return ((idx % tp) < t).astype(_F32)
-
-
-def _conv3_flat(w3, x):
-    """Σ_tap W_tap · shift_tap(x): (3, O, C) ⊛ (C, cols) → (O, cols) f32.
-    The inter-sample zero pad columns double as the conv's padding=1."""
-    return (
-        jnp.dot(w3[0], _shift_r(x), preferred_element_type=_F32)
-        + jnp.dot(w3[1], x, preferred_element_type=_F32)
-        + jnp.dot(w3[2], _shift_l(x), preferred_element_type=_F32)
-    )
-
-
-def _conv3_flat_t(w3, dc):
-    """Input gradient of :func:`_conv3_flat` (contraction over O):
-    (3, O, C), (O, cols) → (C, cols)."""
-    tdot = partial(
-        jax.lax.dot_general,
-        dimension_numbers=(((0,), (0,)), ((), ())),  # contract O; no
-        # materialized weight transpose
-        preferred_element_type=_F32,
-    )
-    return (
-        tdot(w3[0], _shift_l(dc)) + tdot(w3[1], dc) + tdot(w3[2], _shift_r(dc))
-    )
 
 
 def _selector(cols: int, s: int, t: int, tp: int):
@@ -342,12 +313,6 @@ def _call(kernel, x, w3, b2, extra, out_shapes, cols: int, interpret):
         out_shape=out_shape[0] if single else tuple(out_shape),
         interpret=interpret,
     )(*operands)
-
-
-def _auto_interpret(interpret):
-    if interpret is None:
-        return jax.default_backend() != "tpu"
-    return interpret
 
 
 @lru_cache(maxsize=None)

@@ -267,7 +267,13 @@ def eval_windows_denorm(g_params, w, lo, hi):
 
 
 def _blend(pred: np.ndarray, hop: int, t: int) -> np.ndarray:
-    """Overlap-add with linear cross-fade over the (t - hop) overlap."""
+    """Overlap-add with linear cross-fade over the (t - hop) overlap.
+
+    The first window's leading edge and the last window's trailing edge
+    have no partner to fade against, so they keep full weight — the fade
+    ramp reaches exactly 0 at its outer ends, and applying it there would
+    zero the record's first and last samples (weight-0 positions
+    normalize to 0, a spurious spike on a calibrated mmHg waveform)."""
     n = pred.shape[0]
     L = hop * (n - 1) + t
     out = np.zeros(L, dtype=np.float64)
@@ -279,7 +285,14 @@ def _blend(pred: np.ndarray, hop: int, t: int) -> np.ndarray:
         ramp[:ov] = fade
         ramp[-ov:] = fade[::-1]
     for i in range(n):
+        r = ramp
+        if ov > 0 and (i == 0 or i == n - 1):
+            r = ramp.copy()
+            if i == 0:
+                r[:ov] = 1.0
+            if i == n - 1:
+                r[-ov:] = 1.0
         s = i * hop
-        out[s : s + t] += pred[i] * ramp
-        wsum[s : s + t] += ramp
+        out[s : s + t] += pred[i] * r
+        wsum[s : s + t] += r
     return (out / np.maximum(wsum, 1e-12)).astype(np.float32)

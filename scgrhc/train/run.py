@@ -462,6 +462,14 @@ def _train_epochs(
     plot,
 ):
     mode = getattr(params, "train_mode", "epoch")
+    # Fast-forward the loop stream to the starting epoch: a resumed run
+    # must draw the SAME per-epoch keys (shuffle/dropout/GP eps) an
+    # uninterrupted run draws from here on — without this, resume
+    # replayed epoch-0's keys from the checkpoint epoch onward, silently
+    # breaking seed reproducibility across interruptions.  Host-side
+    # splits, O(total_epochs), sub-ms.
+    for _ in range(epoch):
+        rng, _ = jax.random.split(rng)
     c_pad = _channel_pad_to(params)
     while epoch < total_epochs:
         rng, epoch_rng = jax.random.split(rng)

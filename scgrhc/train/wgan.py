@@ -281,7 +281,7 @@ def generator_loss(
     # The critic boundary casts the f32-epilogue prediction down to dt.
     adv_input = pred_rhc.astype(dt) if cfg.fix_g_adversarial else rhc
     pred_validity = critic.apply(
-        d_params, jnp.concatenate((scg, adv_input), axis=1),
+        d_params, jnp.concatenate((scg, adv_input), axis=1), cfg.remat,
         backend=cfg.critic_backend,
     )
     sq = jnp.square((pred_rhc - rhc).astype(jnp.float32))

@@ -205,7 +205,7 @@ def test_sharded_eval_non_divisible_batch(mesh8):
     from scgrhc.eval.infer import predict_split
     from scgrhc.eval.run import _auto_sharding
 
-    sharding = _auto_sharding(13)  # 13 % 8 != 0 — must still shard
+    sharding = _auto_sharding()  # any eval_batch (e.g. 13 % 8 != 0) must shard
     assert sharding is not None
 
     rng = np.random.default_rng(0)
@@ -270,3 +270,20 @@ def test_bucket_windows_shape():
     for n in range(1, 2000):
         b = _bucket_windows(n)
         assert b >= n and (b - n) / n <= 0.25
+
+
+def test_blend_keeps_record_endpoints():
+    """The cross-fade ramp is exactly 0 at its outer ends; without full
+    weight on the first window's leading edge and the last window's
+    trailing edge, the record's first and last samples normalized to 0
+    (a spurious spike on a calibrated mmHg waveform)."""
+    from scgrhc.parallel.stream import _blend
+
+    pred = np.full((3, 8), 5.0, dtype=np.float32)
+    out = _blend(pred, hop=4, t=8)
+    assert out.shape == (16,)
+    np.testing.assert_allclose(out, 5.0)  # including out[0] and out[-1]
+
+    # single window: blend degenerates to the prediction itself
+    one = _blend(pred[:1], hop=4, t=8)
+    np.testing.assert_allclose(one, 5.0)

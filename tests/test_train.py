@@ -491,6 +491,30 @@ def test_train_stage_and_resume(tmp_path, monkeypatch):
         ckpt_io.load(os.path.join(params.checkpoint_dir_path, "001.checkpoint"))["g_losses"]
     )
 
+    # Seed reproducibility across interruption: an UNINTERRUPTED 3-epoch
+    # run with the same seed must produce the identical final checkpoint
+    # (same weights, same loss histories) — the resumed leg fast-forwards
+    # the loop PRNG stream to its starting epoch, so epoch 2 draws the
+    # same keys either way (it previously replayed epoch 0's).
+    cfg2 = dict(cfg)
+    cfg2["dir_path"] = str(tmp_path / "exp_straight")
+    cfg2.pop("checkpoint_async"), cfg2.pop("plot_async")
+    os.makedirs(cfg2["dir_path"])
+    cfg2_path = tmp_path / "exp_straight" / "params.json"
+    cfg2_path.write_text(json.dumps(cfg2))
+    p2 = Params(str(cfg2_path))
+    data_run(p2)
+    train_run(p2, plot=False)
+    straight = ckpt_io.load(
+        os.path.join(p2.checkpoint_dir_path, "002.checkpoint")
+    )
+    assert straight["g_losses"] == last["g_losses"]
+    assert straight["d_losses"] == last["d_losses"]
+    for k in ("g_state_dict", "d_state_dict"):
+        assert straight[k].keys() == last[k].keys()
+        for name in straight[k]:
+            np.testing.assert_array_equal(straight[k][name], last[k][name])
+
 
 @pytest.mark.slow
 def test_step_and_epoch_modes_share_rng_stream(tiny_setup):
