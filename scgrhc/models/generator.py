@@ -112,6 +112,51 @@ def _pad_size(a, b):
     return a
 
 
+def encode(params, x, block=_conv_block_apply, drop=lambda a, rng=None: a,
+           drops=(None,) * 6):
+    """Encoder half: enc1..enc3 + bottleneck (reference:
+    waveform_train.py:175-181).  Returns the skip activations and the
+    bottleneck — the exact inter-stage payload of the pipeline-parallel
+    split (scgrhc.parallel.pp).  ``block``/``drop``/``drops`` are the same
+    knobs ``apply`` resolves (fused/remat block, dropout keys)."""
+    e1 = block(params["enc1"], x)
+    e2 = block(params["enc2"], drop(max_pool1d_k3s1(e1), rng=drops[0]))
+    e3 = block(params["enc3"], drop(max_pool1d_k3s1(e2), rng=drops[1]))
+    b = block(params["bottleneck"], drop(max_pool1d_k3s1(e3), rng=drops[2]))
+    return e1, e2, e3, b
+
+
+def decode(params, x, e1, e2, e3, b, block=_conv_block_apply,
+           drop=lambda a, rng=None: a, drops=(None,) * 6):
+    """Decoder half: up/attention/dec ×3 + final 1×1 conv (reference:
+    waveform_train.py:183-195).  ``x`` is only consulted for the output
+    length reconciliation quirk (``_pad_size(f, x)``)."""
+    d3 = _pad_size(drop(conv_transpose1d(b, params["up3"]["w"], params["up3"]["b"]),
+                        rng=drops[3]), e3)
+    a3 = attention.apply(params["att3"], d3, e3)
+    d3 = block(params["dec3"], jnp.concatenate((d3, a3), axis=1))
+
+    d2 = _pad_size(drop(conv_transpose1d(d3, params["up2"]["w"], params["up2"]["b"]),
+                        rng=drops[4]), e2)
+    a2 = attention.apply(params["att2"], d2, e2)
+    d2 = block(params["dec2"], jnp.concatenate((d2, a2), axis=1))
+
+    d1 = _pad_size(drop(conv_transpose1d(d2, params["up1"]["w"], params["up1"]["b"]),
+                        rng=drops[5]), e1)
+    a1 = attention.apply(params["att1"], d1, e1)
+    d1 = block(params["dec1"], jnp.concatenate((d1, a1), axis=1))
+
+    # Output epilogue in the final weights' own dtype: with an f32
+    # ``final`` (cast_params leaves it uncast) the prediction is computed
+    # and returned at full precision even under bf16 compute — the 6
+    # MFLOP 1×1 conv is free next to the U-Net body, and it removes the
+    # bf16 output quantization (~2^-8 relative) that dominates Pearson
+    # drift on near-constant outputs.
+    fw, fb = params["final"]["w"], params["final"]["b"]
+    f = conv1d(d1.astype(fw.dtype), fw, fb)
+    return _pad_size(f, x)
+
+
 def apply(params, x, rng=None, train: bool = False, dtype=None,
           remat: bool = False, conv_backend: str = "xla"):
     """Forward pass (reference: waveform_train.py:175-195).
@@ -159,32 +204,5 @@ def apply(params, x, rng=None, train: bool = False, dtype=None,
     drop = partial(dropout, rate=DROPOUT_RATE, train=train)
     x = x.astype(dtype)
 
-    e1 = block(params["enc1"], x)
-    e2 = block(params["enc2"], drop(max_pool1d_k3s1(e1), rng=drops[0]))
-    e3 = block(params["enc3"], drop(max_pool1d_k3s1(e2), rng=drops[1]))
-    b = block(params["bottleneck"], drop(max_pool1d_k3s1(e3), rng=drops[2]))
-
-    d3 = _pad_size(drop(conv_transpose1d(b, params["up3"]["w"], params["up3"]["b"]),
-                        rng=drops[3]), e3)
-    a3 = attention.apply(params["att3"], d3, e3)
-    d3 = block(params["dec3"], jnp.concatenate((d3, a3), axis=1))
-
-    d2 = _pad_size(drop(conv_transpose1d(d3, params["up2"]["w"], params["up2"]["b"]),
-                        rng=drops[4]), e2)
-    a2 = attention.apply(params["att2"], d2, e2)
-    d2 = block(params["dec2"], jnp.concatenate((d2, a2), axis=1))
-
-    d1 = _pad_size(drop(conv_transpose1d(d2, params["up1"]["w"], params["up1"]["b"]),
-                        rng=drops[5]), e1)
-    a1 = attention.apply(params["att1"], d1, e1)
-    d1 = block(params["dec1"], jnp.concatenate((d1, a1), axis=1))
-
-    # Output epilogue in the final weights' own dtype: with an f32
-    # ``final`` (cast_params leaves it uncast) the prediction is computed
-    # and returned at full precision even under bf16 compute — the 6
-    # MFLOP 1×1 conv is free next to the U-Net body, and it removes the
-    # bf16 output quantization (~2^-8 relative) that dominates Pearson
-    # drift on near-constant outputs.
-    fw, fb = params["final"]["w"], params["final"]["b"]
-    f = conv1d(d1.astype(fw.dtype), fw, fb)
-    return _pad_size(f, x)
+    e1, e2, e3, b = encode(params, x, block, drop, drops)
+    return decode(params, x, e1, e2, e3, b, block, drop, drops)
