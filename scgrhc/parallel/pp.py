@@ -34,7 +34,7 @@ residency, not weight residency, is what PP partitions here).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -55,7 +55,7 @@ def make_pp_mesh(axis: str = STAGE_AXIS):
     return jax.sharding.Mesh(np.asarray(devs[:N_STAGES]), (axis,))
 
 
-def _skip_shapes(t: int, mb: int):
+def _skip_shapes(t: int, mb: int, widths=(64, 128, 256, 512)):
     """Shapes of the inter-stage payload for segment length ``t``.
 
     Encoder lengths follow the reference geometry T → T-2 → T-4 → T-6
@@ -63,14 +63,29 @@ def _skip_shapes(t: int, mb: int):
     positive, and the decoder's ConvTranspose k3 s1 (+2 per level)
     reconciles them back to T exactly, so the ``_pad_size`` quirk branch
     is dead here just as it is in ``generator.apply``.
+
+    ``widths`` are the (e1, e2, e3, bottleneck) channel counts — callers
+    with a param tree in hand should derive them via :func:`_skip_widths`
+    so a generator-geometry change can't silently desynchronize this
+    table (it would otherwise only surface as a reshape-size trace error
+    inside the shard_map).
     """
     if t <= 6:
         raise ValueError(f"segment length {t} too short for the U-Net (need > 6)")
+    w1, w2, w3, wb = widths
     return (
-        (mb, 64, t),
-        (mb, 128, t - 2),
-        (mb, 256, t - 4),
-        (mb, 512, t - 6),
+        (mb, w1, t),
+        (mb, w2, t - 2),
+        (mb, w3, t - 4),
+        (mb, wb, t - 6),
+    )
+
+
+def _skip_widths(params):
+    """(e1, e2, e3, bottleneck) out-channel widths read off the params."""
+    return tuple(
+        params[name]["conv2"]["w"].shape[0]
+        for name in ("enc1", "enc2", "enc3", "bottleneck")
     )
 
 
@@ -101,32 +116,72 @@ def pipeline_infer(params, scg, mesh, microbatch: int = 8,
     ``apply`` (bf16 params ⇒ bf16 skips on the wire ⇒ half the ICI
     bytes).
     """
-    from scgrhc.models import generator
-
     if mesh.shape[axis] != N_STAGES:
         raise ValueError(
             f"mesh axis {axis!r} has size {mesh.shape[axis]}; the U-Net "
             f"pipeline is {N_STAGES}-stage (one cut, at the bottleneck)"
         )
+    if microbatch < 1:
+        raise ValueError(f"microbatch must be >= 1, got {microbatch}")
+    from scgrhc.models import quant
+
+    if quant.is_quantized(params):
+        raise ValueError(
+            "int8-quantized param trees are unsupported under pipeline "
+            "parallelism (the stage bodies call generator.encode/decode "
+            "directly); dequantize or use the single-device int8 path"
+        )
     from jax.sharding import NamedSharding
 
     # Inputs may arrive committed to a different mesh (e.g. DP-replicated
     # over all chips); re-place them onto the stage mesh explicitly so
-    # the jit below sees one consistent device set.
+    # the jit below sees one consistent device set.  Arrays already
+    # committed to this mesh pass through untouched — repeated calls must
+    # not re-upload the ~40 MB tree (ADVICE r3).
     rep = NamedSharding(mesh, P())
-    params = jax.tree.map(lambda a: jax.device_put(a, rep), params)
-    scg = jax.device_put(scg, rep)
+
+    def _place(a):
+        if getattr(a, "sharding", None) == rep:
+            return a
+        return jax.device_put(a, rep)
+
+    params = jax.tree.map(_place, params)
+    scg = _place(scg)
 
     b_in, c, t = scg.shape
+    if b_in == 0:
+        raise ValueError("empty batch: scg has 0 rows")
     mb = min(microbatch, b_in)
     n_mb = -(-b_in // mb)  # ceil
     b_pad = n_mb * mb
     dtype = jax.tree.leaves(params)[0].dtype
     x = jnp.pad(scg.astype(dtype), ((0, b_pad - b_in), (0, 0), (0, 0)))
-    shapes = _skip_shapes(t, mb)
+    widths = _skip_widths(params)
     out_dtype = params["final"]["w"].dtype
 
+    run = _compiled_run(
+        mesh, axis, mb, n_mb, c, t, widths,
+        jnp.dtype(dtype).name, jnp.dtype(out_dtype).name,
+    )
+    return run(params, x)[:b_in]
+
+
+@lru_cache(maxsize=64)
+def _compiled_run(mesh, axis, mb, n_mb, c, t, widths, dtype_name,
+                  out_dtype_name):
+    """One cached jitted shard_map program per (mesh, schedule, shapes).
+
+    Rebuilding the closure per call would give every call a fresh jit
+    cache — a ~21 s remote retrace/recompile per request if this path is
+    ever reused for serving (ADVICE r3).
+    """
+    from scgrhc.models import generator
     from jax import shard_map
+
+    dtype = jnp.dtype(dtype_name)
+    out_dtype = jnp.dtype(out_dtype_name)
+    b_pad = n_mb * mb
+    shapes = _skip_shapes(t, mb, widths)
 
     @jax.jit
     @partial(shard_map, mesh=mesh, in_specs=(P(), P()), out_specs=P())
@@ -175,4 +230,4 @@ def pipeline_infer(params, scg, mesh, microbatch: int = 8,
         # the result provably replicated for the P() out_spec.
         return lax.psum(out, axis)
 
-    return run(params, x)[:b_in]
+    return run

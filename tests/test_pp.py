@@ -86,3 +86,34 @@ def test_pipeline_rejects_wrong_stage_count(params):
 def test_skip_shapes_reject_short_segments():
     with pytest.raises(ValueError, match="too short"):
         pp._skip_shapes(6, 2)
+
+
+def test_pipeline_rejects_bad_inputs(params, mesh):
+    # ADVICE r3: clear errors instead of ZeroDivision / opaque trace faults.
+    with pytest.raises(ValueError, match="microbatch"):
+        pp.pipeline_infer(params, jnp.zeros((4, C, T)), mesh, microbatch=0)
+    with pytest.raises(ValueError, match="empty batch"):
+        pp.pipeline_infer(params, jnp.zeros((0, C, T)), mesh, microbatch=4)
+
+
+def test_pipeline_rejects_int8_tree(params, mesh):
+    from scgrhc.models import quant
+
+    qp = quant.quantize_generator(params)
+    with pytest.raises(ValueError, match="int8"):
+        pp.pipeline_infer(qp, jnp.zeros((4, C, T)), mesh, microbatch=2)
+
+
+def test_pipeline_program_cached_and_widths_derived(params, mesh):
+    # Same (mesh, schedule, shapes) → the same compiled program object;
+    # widths come off the param tree, matching generator._BLOCKS.
+    assert pp._skip_widths(params) == tuple(c for _, _, c in generator._BLOCKS[:4])
+    x = jax.random.uniform(jax.random.key(7), (8, C, T), jnp.float32)
+    pp.pipeline_infer(params, x, mesh, microbatch=4)
+    key = (mesh, pp.STAGE_AXIS, 4, 2, C, T, pp._skip_widths(params),
+           "float32", "float32")
+    info0 = pp._compiled_run.cache_info()
+    pp.pipeline_infer(params, x, mesh, microbatch=4)
+    info1 = pp._compiled_run.cache_info()
+    assert info1.hits == info0.hits + 1
+    assert pp._compiled_run(*key) is pp._compiled_run(*key)
