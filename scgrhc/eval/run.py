@@ -36,6 +36,18 @@ CSV_COLUMNS = [
 ]
 
 
+def _is_oom(e: BaseException) -> bool:
+    """XLA out-of-memory detection across jaxlib spellings (compile-time
+    allocation failures and runtime RESOURCE_EXHAUSTED both match)."""
+    msg = str(e)
+    return (
+        "RESOURCE_EXHAUSTED" in msg
+        or "Ran out of memory" in msg
+        or "Out of memory" in msg
+        or "out of memory" in msg
+    )
+
+
 def _auto_sharding():
     """Shard eval chunks over all local chips (multi-chip hosts get
     data-parallel eval with zero configuration).  Non-divisible
@@ -208,13 +220,35 @@ def run(params, loader_type: str, checkpoint_path: str) -> None:
     # splits, so programs stop depending on the dataset size
     b_bucket = bool(getattr(params, "shape_bucket", False))
     try:
-        if len(todo) > 1 and stack > 1:
-            _run_stacked(
-                params, loader, checkpoint_paths, todo, comp_dir_path,
-                load_g_params, print_line, stack, sharding, loader_type,
-                c_pad, b_bucket,
-            )
-            return
+        # Stacked path, with OOM auto-degrade (VERDICT r3 #4): a K-stacked
+        # program that doesn't fit HBM (measured: K=16 needs 16.76 GB vs
+        # 15.75 GB at eval_batch 256) halves the stack and retries instead
+        # of aborting the stage — the eval contract is that every
+        # checkpoint gets scored (waveform_test.py:119-154).  Already-
+        # written CSVs survive the retry via the processed-checkpoint
+        # skip, so only unscored checkpoints are recomputed; the i/len
+        # progress lines for the crashed group may print twice.
+        while len(todo) > 1 and stack > 1:
+            try:
+                _run_stacked(
+                    params, loader, checkpoint_paths, todo, comp_dir_path,
+                    load_g_params, print_line, stack, sharding, loader_type,
+                    c_pad, b_bucket,
+                )
+                return
+            except Exception as e:
+                if not _is_oom(e):
+                    raise
+                stack = max(1, stack // 2)
+                print(
+                    timelog(
+                        f"waveform_test | eval_stack program out of memory; "
+                        f"retrying with eval_stack={stack}",
+                        start_time,
+                    )
+                )
+                processed_checkpoints = get_processed_checkpoints(comp_dir_path)
+                todo = [n for n in checkpoint_paths if not is_processed(n)]
 
         pool = ThreadPoolExecutor(max_workers=1)
         pending = pool.submit(load_g_params, todo[0]) if todo else None

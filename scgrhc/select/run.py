@@ -29,16 +29,30 @@ def get_float_array(s: str) -> np.ndarray:
     return np.asarray(s.strip("[").strip("]").split(","), dtype=np.float64)
 
 
-def get_checkpoint_scores(params, start_time: float) -> list[dict]:
+def _score_comparison_csv(path: str):
+    """Global scores for one comparison CSV, or None if it's empty."""
     import pandas as pd
 
+    df = pd.read_csv(path)
+    if df.empty:
+        return None
+    all_pred = np.concatenate([get_float_array(s) for s in df["pred_rhc"]])
+    all_real = np.concatenate([get_float_array(s) for s in df["real_rhc"]])
+    return metrics.global_scores(
+        all_real.astype(np.float64), all_pred.astype(np.float64)
+    )
+
+
+def get_checkpoint_scores(params, start_time: float) -> list[dict]:
     corrs = []
     comparison_dir_path = os.path.join(params.comparison_dir_path, "valid")
     comparison_paths = sorted(os.listdir(comparison_dir_path))
 
     for i, comparison_path in enumerate(comparison_paths):
-        df = pd.read_csv(os.path.join(comparison_dir_path, comparison_path))
-        if df.empty:  # empty split: nothing to score for this checkpoint
+        score = _score_comparison_csv(
+            os.path.join(comparison_dir_path, comparison_path)
+        )
+        if score is None:  # empty split: nothing to score for this checkpoint
             print(
                 timelog(
                     f"waveform_checkpoint | {params.dir_path} | "
@@ -48,12 +62,6 @@ def get_checkpoint_scores(params, start_time: float) -> list[dict]:
                 )
             )
             continue
-        all_pred = np.concatenate([get_float_array(s) for s in df["pred_rhc"]])
-        all_real = np.concatenate([get_float_array(s) for s in df["real_rhc"]])
-
-        score = metrics.global_scores(
-            all_real.astype(np.float64), all_pred.astype(np.float64)
-        )
         checkpoint = f"{comparison_path.split('.')[0]}.checkpoint"
         corrs.append({"checkpoint": checkpoint, **score})
         print(
@@ -69,12 +77,71 @@ def get_checkpoint_scores(params, start_time: float) -> list[dict]:
     return corrs
 
 
+# Measured pcc_r reassociation jitter of the vmapped stacked eval path
+# vs the serial path (BENCH.md / ADVICE r2): the stacked forward re-fuses
+# f32 reductions, so global pcc_r can differ by up to ~1e-4 between the
+# two.  Inside that margin the argmax is not trustworthy as a
+# reference-contract decision (waveform_checkpoint.py:61-63 scores the
+# serial semantics), so near-tied leaders are re-verified serially.
+NEAR_TIE_JITTER = 1e-4
+
+
+def _reverify_near_ties(params, scores, start_time: float) -> list[dict]:
+    """Re-score near-tied leading checkpoints through the serial eval path.
+
+    If the stacked eval path was used (eval_stack > 1) and one or more
+    checkpoints sit within NEAR_TIE_JITTER of the max pcc_r, their
+    comparison CSVs are regenerated via explicit-checkpoint eval (a
+    single-checkpoint todo always takes the serial path in eval/run.py)
+    and their global scores recomputed, so ``checkpoint_best.txt`` is
+    decision-identical to the reference's serial contract.  The rewritten
+    CSVs keep the artifact set self-consistent with the updated scores.
+    """
+    if len(scores) < 2 or int(getattr(params, "eval_stack", 8)) <= 1:
+        return scores
+    top = max(s["pcc_r"] for s in scores)
+    tied = [
+        i for i, s in enumerate(scores) if top - s["pcc_r"] <= NEAR_TIE_JITTER
+    ]
+    if len(tied) < 2:
+        return scores
+
+    from scgrhc.eval import run as eval_run
+    from scgrhc.parallel import comm
+
+    names = [scores[i]["checkpoint"] for i in tied]
+    print(
+        timelog(
+            f"waveform_checkpoint | {params.dir_path} | near-tie guard: "
+            f"top {len(names)} within {NEAR_TIE_JITTER:g} pcc_r jitter, "
+            f"re-verifying {' '.join(names)} via the serial eval path",
+            start_time,
+        )
+    )
+    comp_dir = os.path.join(params.comparison_dir_path, "valid")
+    if comm.is_primary():  # single-writer discipline on pods
+        for name in names:
+            csv_path = os.path.join(comp_dir, f"{name.split('.')[0]}.csv")
+            if os.path.exists(csv_path):
+                os.remove(csv_path)
+    comm.barrier("select_reverify")
+    for i, name in zip(tied, names):
+        eval_run.run(params, "valid", name)
+        score = _score_comparison_csv(
+            os.path.join(comp_dir, f"{name.split('.')[0]}.csv")
+        )
+        if score is not None:
+            scores[i] = {"checkpoint": name, **score}
+    return scores
+
+
 def run(params) -> None:
     import pandas as pd
 
     start_time = time()
     print(timelog(f"Run waveform_checkpoint for {params.dir_path}", start_time))
     scores = get_checkpoint_scores(params, start_time)
+    scores = _reverify_near_ties(params, scores, start_time)
     from scgrhc.parallel import comm
 
     try:

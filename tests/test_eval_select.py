@@ -425,3 +425,92 @@ def test_predict_split_bucket_batch_matches(g_setup):
     np.testing.assert_allclose(r1, r2, atol=1e-5)
     np.testing.assert_allclose(p1, p2, rtol=1e-5, atol=3e-4)
     np.testing.assert_allclose(s1["pcc_r"], s2["pcc_r"], rtol=1e-5, atol=1e-6)
+
+
+def test_eval_stack_oom_auto_degrade(exp_dir, g_setup, monkeypatch, capsys):
+    """An eval_stack too big for HBM halves and retries instead of
+    aborting the stage (VERDICT r3 #4) — every checkpoint still gets
+    scored (reference contract: waveform_test.py:119-154)."""
+    from scgrhc.eval import infer as eval_infer
+    from scgrhc.eval import run as eval_run
+
+    cfg, state, store = g_setup
+    for ep in (2, 3):
+        st = init_state(jax.random.key(ep), 2, cfg)
+        ckpt_io.save(
+            os.path.join(exp_dir.checkpoint_dir_path, f"{ep:03d}.checkpoint"),
+            start_time=0.0, epoch=ep, g_losses=[], d_losses=[], state=st,
+        )
+    exp_dir.total_epochs = 4
+    exp_dir.eval_stack = 4
+
+    real_multi = eval_infer.predict_split_multi
+    stacks_seen = []
+
+    def fake_multi(loaded, store_, **kw):
+        stacks_seen.append(kw["stack"])
+        if kw["stack"] >= 4:
+            raise RuntimeError(
+                "RESOURCE_EXHAUSTED: Ran out of memory in memory space hbm"
+            )
+        return real_multi(loaded, store_, **kw)
+
+    monkeypatch.setattr(eval_infer, "predict_split_multi", fake_multi)
+    eval_run.run(exp_dir, "valid", "all")
+
+    comp = os.path.join(exp_dir.comparison_dir_path, "valid")
+    assert sorted(os.listdir(comp)) == ["000.csv", "001.csv", "002.csv", "003.csv"]
+    assert 4 in stacks_seen and 2 in stacks_seen  # degraded, not aborted
+    assert "retrying with eval_stack=2" in capsys.readouterr().out
+
+
+def test_eval_oom_detector():
+    from scgrhc.eval.run import _is_oom
+
+    assert _is_oom(RuntimeError("RESOURCE_EXHAUSTED: Ran out of memory in memory space hbm"))
+    assert _is_oom(RuntimeError("Allocation failure: Out of memory allocating 16g"))
+    assert not _is_oom(ValueError("shape mismatch"))
+
+
+def test_select_near_tie_guard_reverifies_serially(exp_dir, monkeypatch, capsys):
+    """Near-tied top pcc_r (inside the measured stacked-eval jitter) must
+    be re-verified through the serial eval path so the best-checkpoint
+    decision matches the reference's serial contract
+    (waveform_checkpoint.py:61-63); far-apart scores must not trip it."""
+    from scgrhc.eval import run as eval_run
+    from scgrhc.select import run as select_run
+
+    eval_run.run(exp_dir, "valid", "all")  # stacked default writes the CSVs
+    comp = os.path.join(exp_dir.comparison_dir_path, "valid")
+    scores = select_run.get_checkpoint_scores(exp_dir, 0.0)
+
+    eval_calls = []
+    real_eval = eval_run.run
+
+    def counting_eval(p, split, ckpt):
+        eval_calls.append(ckpt)
+        return real_eval(p, split, ckpt)
+
+    monkeypatch.setattr(eval_run, "run", counting_eval)
+
+    # far apart: untouched, no re-eval
+    far = [dict(s) for s in scores]
+    far[0]["pcc_r"], far[1]["pcc_r"] = 0.9, 0.1
+    assert select_run._reverify_near_ties(exp_dir, [dict(s) for s in far], 0.0) == far
+    assert eval_calls == []
+
+    # forced near-tie: both leaders re-scored from serially-rewritten CSVs
+    tied = [dict(s) for s in scores]
+    tied[1]["pcc_r"] = tied[0]["pcc_r"] + 5e-5
+    out = select_run._reverify_near_ties(exp_dir, tied, 0.0)
+    assert sorted(eval_calls) == ["000.checkpoint", "001.checkpoint"]
+    assert "near-tie guard" in capsys.readouterr().out
+    for i, f in enumerate(("000.csv", "001.csv")):
+        serial = select_run._score_comparison_csv(os.path.join(comp, f))
+        assert out[i]["pcc_r"] == serial["pcc_r"]
+
+    # serial-path scoring opted out (eval_stack=1): guard is a no-op
+    exp_dir.eval_stack = 1
+    eval_calls.clear()
+    assert select_run._reverify_near_ties(exp_dir, [dict(s) for s in tied], 0.0) == tied
+    assert eval_calls == []
