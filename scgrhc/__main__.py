@@ -19,7 +19,9 @@ def main(argv: list[str] | None = None) -> int:
             "       scgrhc select <dir_name>         score/select checkpoints\n"
             "       scgrhc summary                   cohort statistics report\n"
             "       scgrhc predict <dir> <record> [ckpt|best|last] [--overlap S]\n"
+            "                      [--mesh]\n"
             "       scgrhc serve <dir> [ckpt|best|last] [--calibrate] [--warm N]\n"
+            "                    [--mesh]\n"
             "                                        whole-record RHC synthesis\n"
             "       scgrhc sweep [root] [--jobs N] [--epochs E] [--seed S]\n"
             "                    [--train-mode step|epoch] [--fast]\n"

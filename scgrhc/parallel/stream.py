@@ -30,6 +30,11 @@ from scgrhc.data.store import NORM_EPS
 from scgrhc.models import generator
 from scgrhc.parallel.mesh import batch_sharding
 
+# Window-chunk size of the streaming path; records with ≤ STREAM_BATCH
+# windows take the single-dispatch fused fast path (callers gating mesh
+# use on "past the single-dispatch bucket" key off this constant).
+STREAM_BATCH = 512
+
 
 def frame_record(x, t: int, hop: int | None = None):
     """(C, L) → (N, C, t) windows, hop defaults to t (non-overlapping,
@@ -132,7 +137,7 @@ def stream_infer(
     record_scg,
     segment_samples: int = 750,
     mesh=None,
-    batch: int = 512,
+    batch: int = STREAM_BATCH,
     overlap: int = 0,
     rhc_minmax=None,
     norm_backend: str = "jnp",

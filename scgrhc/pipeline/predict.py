@@ -30,7 +30,7 @@ from scgrhc.io.catalog import (
     read_record_digital,
 )
 from scgrhc.models import torch_compat
-from scgrhc.parallel.stream import stream_infer
+from scgrhc.parallel.stream import STREAM_BATCH, stream_infer
 from scgrhc.train import checkpoint as ckpt_io
 from scgrhc.train import orbax_io
 
@@ -124,6 +124,7 @@ def run(
     out_dir: str | None = None,
     continuous: bool = False,
     calibrate: bool = False,
+    mesh: bool = False,
 ) -> str:
     """Predict one record's full RHC waveform; returns the .npy path.
 
@@ -131,6 +132,10 @@ def run(
     (scgrhc.models.cp): one normalization over the record and one
     U-Net pass over the entire sequence (time-sharded across chips when
     several are present) instead of independent 1.5-s windows.
+
+    ``mesh=True`` (CLI ``--mesh``) shards the windowed path across all
+    local chips when the record exceeds the single-dispatch bucket;
+    smaller records keep the fused single-chip fast path (VERDICT r3 #6).
     """
     start_time = time()
     ckpt_name = resolve_checkpoint(params, checkpoint)
@@ -154,6 +159,25 @@ def run(
 
     t = params.segment_samples
     overlap = int(overlap_s * SAMPLE_FREQ)
+    hop = (t - overlap) if overlap else t
+
+    def _windowed_mesh(n_samples: int):
+        # Mesh window-sharding only past the single-dispatch bucket —
+        # small records keep the fused single-chip fast path (same rule
+        # as serve._request_mesh).
+        if not mesh:
+            return None
+        import jax
+
+        if jax.device_count() <= 1:
+            return None
+        n = (n_samples - t) // hop + 1 if n_samples >= t else 0
+        if n <= STREAM_BATCH:
+            return None
+        from scgrhc.parallel.mesh import make_mesh
+
+        return make_mesh()
+
     dig = None if continuous else read_record_digital(
         record_name, params.in_channels
     )
@@ -168,6 +192,7 @@ def run(
             g_params,
             np.ascontiguousarray(adc.T),
             segment_samples=t,
+            mesh=_windowed_mesh(adc.shape[0]),
             overlap=overlap,
             rhc_minmax=rhc_minmax,
             calibration=(gain, base, sentinel),
@@ -179,6 +204,7 @@ def run(
             g_params,
             scg.T.astype(np.float32),
             segment_samples=t,
+            mesh=_windowed_mesh(scg.shape[0]),
             overlap=overlap,
             rhc_minmax=rhc_minmax,
         )

@@ -194,10 +194,11 @@ def dispatch(argv: list[str]) -> int:
             params, record_name, checkpoint=which, overlap_s=overlap,
             continuous="--continuous" in rest,
             calibrate="--calibrate" in rest,
+            mesh="--mesh" in rest,
         )
         return 0
     if cmd == "serve":
-        # scgrhc serve <dir> [ckpt|best|last] [--calibrate] [--warm N]
+        # scgrhc serve <dir> [ckpt|best|last] [--calibrate] [--warm N] [--mesh]
         from scgrhc.pipeline import serve
 
         rest = argv[2:]
@@ -209,11 +210,11 @@ def dispatch(argv: list[str]) -> int:
                 warm = int(rest[i + 1])
             except (IndexError, ValueError):
                 raise SystemExit("usage: scgrhc serve <dir> [ckpt] "
-                                 "[--calibrate] [--warm N]")
+                                 "[--calibrate] [--warm N] [--mesh]")
         params = Params(os.path.join(argv[1], "params.json"))
         serve.run(
             params, checkpoint=which, calibrate="--calibrate" in rest,
-            warm=warm,
+            warm=warm, mesh="--mesh" in rest,
         )
         return 0
     if cmd in ("data", "train", "test", "select"):

@@ -46,7 +46,7 @@ from scgrhc.io.catalog import (
     read_record,
     read_record_digital,
 )
-from scgrhc.parallel.stream import stream_infer
+from scgrhc.parallel.stream import STREAM_BATCH, stream_infer
 from scgrhc.pipeline.predict import (
     _predict_continuous,
     cohort_rhc_minmax,
@@ -66,6 +66,22 @@ def _valid_record_name(name) -> bool:
         and os.path.basename(name) == name
         and (os.altsep is None or os.altsep not in name)
     )
+
+
+def _request_mesh(ctx: dict, n_samples: int, t: int, hop: int):
+    """The serving mesh for THIS request, or None.
+
+    Records whose window count fits the single-dispatch bucket (≤ the
+    stream batch) keep the fused single-chip path — its one-dispatch
+    latency is the measured serving optimum and must not change when the
+    daemon runs with ``--mesh``.  Only records past the bucket (where the
+    chunked dispatch chain runs anyway) shard their windows across the
+    mesh (VERDICT r3 #6)."""
+    mesh = ctx.get("mesh")
+    if mesh is None:
+        return None
+    n = (n_samples - t) // hop + 1 if n_samples >= t else 0
+    return mesh if n > ctx.get("stream_batch", STREAM_BATCH) else None
 
 
 def _handle(req: dict, ctx: dict) -> dict:
@@ -95,20 +111,26 @@ def _handle(req: dict, ctx: dict) -> dict:
         mode = "continuous"
     elif dig is not None:
         adc, gain, base, sentinel = dig
+        t = params.segment_samples
         pred = stream_infer(
             ctx["g_params"],
             np.ascontiguousarray(adc.T),
-            segment_samples=params.segment_samples,
+            segment_samples=t,
+            mesh=_request_mesh(ctx, adc.shape[0], t, (t - overlap) or t),
+            batch=ctx.get("stream_batch", STREAM_BATCH),
             overlap=overlap,
             rhc_minmax=rhc_minmax,
             calibration=(gain, base, sentinel),
         )
         mode = "windowed"
     else:
+        t = params.segment_samples
         pred = stream_infer(
             ctx["g_params"],
             scg.T.astype(np.float32),
-            segment_samples=params.segment_samples,
+            segment_samples=t,
+            mesh=_request_mesh(ctx, scg.shape[0], t, (t - overlap) or t),
+            batch=ctx.get("stream_batch", STREAM_BATCH),
             overlap=overlap,
             rhc_minmax=rhc_minmax,
         )
@@ -167,13 +189,30 @@ def run(
     calibrate: bool = False,
     out_dir: str | None = None,
     warm: int = 0,
+    mesh: bool = False,
+    stream_batch: int = STREAM_BATCH,
     stdin=None,
     stdout=None,
 ) -> int:
-    """Serve until EOF or ``{"cmd": "quit"}``.  Returns requests served."""
+    """Serve until EOF or ``{"cmd": "quit"}``.  Returns requests served.
+
+    ``mesh=True`` (CLI ``--mesh``) builds a window-sharding mesh over all
+    local chips at startup; requests whose record exceeds the
+    single-dispatch bucket then shard their windows across it (small
+    records keep the fused single-chip fast path — see _request_mesh).
+    """
     stdin = stdin or sys.stdin
     stdout = stdout or sys.stdout
     start_time = time()
+
+    serving_mesh = None
+    if mesh:
+        import jax
+
+        if jax.device_count() > 1:
+            from scgrhc.parallel.mesh import make_mesh
+
+            serving_mesh = make_mesh()
 
     ckpt_name = resolve_checkpoint(params, checkpoint)
     ctx = {
@@ -183,6 +222,8 @@ def run(
         "calibrate": calibrate,
         "rhc_minmax": cohort_rhc_minmax(params) if calibrate else None,
         "out_dir": out_dir or os.path.join(params.dir_path, "predictions"),
+        "mesh": serving_mesh,
+        "stream_batch": stream_batch,
     }
     if warm:
         _warm(ctx, warm)
