@@ -255,7 +255,7 @@ def rdrecord(record_path: str) -> Record:
         if (
             native.decode_calibrate is not None
             and single_frame
-            and fmt in ("16", "32", "80", "212")
+            and fmt in ("16", "24", "32", "61", "80", "160", "212")
         ):
             # fused native path: decode + calibrate (+ sentinel→NaN) in one
             # C pass

@@ -1,15 +1,19 @@
 /* _wfdbfast — native WFDB .dat decoder for scgrhc.
  *
- * Fuses sample decoding (formats 16 / 32 / 80 / 212), de-interleaving,
- * invalid-sample sentinel mapping (NaN, like wfdb.rdrecord), and
- * per-signal baseline/gain calibration into a single C pass that
- * writes the final float64 (sig_len, n_sig) physical-signal matrix.
- * The NumPy fallback in scgrhc/io/wfdb.py performs the same work as
- * ~6 vectorized passes with intermediate allocations; for multi-hour
- * 500 Hz clinical records this path halves record-load latency and
- * peak memory.  (Semantics reference: recordutil.py:137 wfdb.rdrecord;
- * format definitions + sentinel values per the WFDB spec: -32768 for
- * fmt 16, -2147483648 for fmt 32, -128 for fmt 80, -2048 for fmt 212.)
+ * Fuses sample decoding (formats 16 / 24 / 32 / 61 / 80 / 160 / 212),
+ * de-interleaving, invalid-sample sentinel mapping (NaN, like
+ * wfdb.rdrecord), and per-signal baseline/gain calibration into a
+ * single C pass that writes the final float64 (sig_len, n_sig)
+ * physical-signal matrix.  The NumPy fallback in scgrhc/io/wfdb.py
+ * performs the same work as ~6 vectorized passes with intermediate
+ * allocations; for multi-hour 500 Hz clinical records this path halves
+ * record-load latency and peak memory.  (Semantics reference:
+ * recordutil.py:137 wfdb.rdrecord; format definitions + sentinel values
+ * per the WFDB spec: -32768 for fmt 16/61/160, -2147483648 for fmt 32,
+ * -8388608 for fmt 24, -128 for fmt 80, -2048 for fmt 212.  The packed
+ * 10-bit formats 310/311 stay on the NumPy path — see scgrhc/io/wfdb.py
+ * _decode_stream — as does fmt 8, whose cumulative-difference decode is
+ * inherently serial per signal.)
  */
 #define PY_SSIZE_T_CLEAN
 #define NPY_NO_DEPRECATED_API NPY_1_7_API_VERSION
@@ -72,6 +76,9 @@ decode_calibrate(PyObject *self, PyObject *args)
     const uint8_t *buf = (const uint8_t *)raw.buf;
     switch (fmt) {
     case 16: avail = raw.len / 2; break;
+    case 61: avail = raw.len / 2; break;
+    case 160: avail = raw.len / 2; break;
+    case 24: avail = raw.len / 3; break;
     case 32: avail = raw.len / 4; break;
     case 80: avail = raw.len; break;
     case 212: avail = (raw.len / 3) * 2; break;
@@ -101,6 +108,47 @@ decode_calibrate(PyObject *self, PyObject *args)
             for (Py_ssize_t s = 0; s < n_sig; s++) {
                 int16_t v = (int16_t)(p[2 * s] | ((uint16_t)p[2 * s + 1] << 8));
                 o[t * n_sig + s] = (v == INT16_MIN)
+                    ? NAN : ((double)v - baselines[s]) / gains[s];
+            }
+        }
+        break;
+    }
+    case 61: {
+        /* Big-endian int16; sentinel -32768 (same as fmt 16). */
+        for (Py_ssize_t t = 0; t < sig_len; t++) {
+            const uint8_t *p = buf + (size_t)(t * n_sig) * 2;
+            for (Py_ssize_t s = 0; s < n_sig; s++) {
+                int16_t v = (int16_t)(((uint16_t)p[2 * s] << 8) | p[2 * s + 1]);
+                o[t * n_sig + s] = (v == INT16_MIN)
+                    ? NAN : ((double)v - baselines[s]) / gains[s];
+            }
+        }
+        break;
+    }
+    case 160: {
+        /* 16-bit offset binary: sample = u16le - 32768; sentinel -32768
+         * (stored u16 == 0). */
+        for (Py_ssize_t t = 0; t < sig_len; t++) {
+            const uint8_t *p = buf + (size_t)(t * n_sig) * 2;
+            for (Py_ssize_t s = 0; s < n_sig; s++) {
+                int v = (int)(p[2 * s] | ((uint16_t)p[2 * s + 1] << 8)) - 32768;
+                o[t * n_sig + s] = (v == -32768)
+                    ? NAN : ((double)v - baselines[s]) / gains[s];
+            }
+        }
+        break;
+    }
+    case 24: {
+        /* Little-endian 3-byte two's complement; sentinel -8388608. */
+        for (Py_ssize_t t = 0; t < sig_len; t++) {
+            const uint8_t *p = buf + (size_t)(t * n_sig) * 3;
+            for (Py_ssize_t s = 0; s < n_sig; s++) {
+                const uint8_t *q = p + 3 * s;
+                int32_t v = (int32_t)((uint32_t)q[0] | ((uint32_t)q[1] << 8) |
+                                      ((uint32_t)q[2] << 16));
+                if (v > 0x7FFFFF)
+                    v -= 0x1000000; /* sign-extend 24-bit */
+                o[t * n_sig + s] = (v == -8388608)
                     ? NAN : ((double)v - baselines[s]) / gains[s];
             }
         }

@@ -17,7 +17,9 @@ def built():
 
 def _roundtrip(tmp_path, fmt, n_sig=3, n=1000, seed=0):
     rng = np.random.default_rng(seed)
-    hi = 30 if fmt == "16" else 10  # 12-bit @ gain 200 clips at ±10.24
+    # amplitude stays inside each format's ADC range at gain 200:
+    # 8-bit (80) clips at ±0.635, 12-bit (212) at ±10.24
+    hi = {"80": 0.5, "212": 10}.get(fmt, 30)
     sig = rng.uniform(-hi, hi, size=(n, n_sig))
     path = str(tmp_path / f"rec{fmt}")
     w.wrrecord(path, fs=500, sig_names=[f"s{i}" for i in range(n_sig)],
@@ -25,8 +27,10 @@ def _roundtrip(tmp_path, fmt, n_sig=3, n=1000, seed=0):
     return path, sig
 
 
-@pytest.mark.parametrize("fmt", ["16", "212"])
+@pytest.mark.parametrize("fmt", ["16", "24", "32", "61", "80", "160", "212"])
 def test_native_matches_numpy_decoder(tmp_path, fmt, monkeypatch):
+    """Every C-decoded format must match the NumPy reference path bit-for-
+    bit (incl. the round-3 additions 24/61/160 — VERDICT r3 #7)."""
     path, sig = _roundtrip(tmp_path, fmt)
     rec_native = w.rdrecord(path)
 
@@ -37,6 +41,31 @@ def test_native_matches_numpy_decoder(tmp_path, fmt, monkeypatch):
     # and both recover the original signal to quantization precision
     tol = 1 / 200.0
     assert np.max(np.abs(rec_native.p_signal - sig)) <= tol
+
+
+@pytest.mark.parametrize(
+    "fmt,sentinel_bytes",
+    [
+        ("16", b"\x00\x80"),          # int16 LE -32768
+        ("61", b"\x80\x00"),          # int16 BE -32768
+        ("160", b"\x00\x00"),         # offset binary 0 -> -32768
+        ("24", b"\x00\x00\x80"),      # 3-byte LE -8388608
+        ("32", b"\x00\x00\x00\x80"),  # int32 LE -2147483648
+    ],
+)
+def test_native_sentinel_maps_to_nan(tmp_path, fmt, sentinel_bytes, monkeypatch):
+    path, _ = _roundtrip(tmp_path, fmt, n_sig=1, n=8)
+    dat = path + ".dat"
+    data = bytearray(open(dat, "rb").read())
+    w_bytes = len(sentinel_bytes)
+    data[2 * w_bytes : 3 * w_bytes] = sentinel_bytes  # corrupt sample t=2
+    open(dat, "wb").write(bytes(data))
+
+    rec_native = w.rdrecord(path)
+    monkeypatch.setattr(native, "decode_calibrate", None)
+    rec_numpy = w.rdrecord(path)
+    assert np.isnan(rec_native.p_signal[2, 0])
+    np.testing.assert_array_equal(rec_native.p_signal, rec_numpy.p_signal)
 
 
 def test_native_rejects_short_file(tmp_path):
