@@ -151,6 +151,14 @@ def _gp_norms(grads):
     return jnp.sqrt(jnp.sum(jnp.square(g32), axis=1) + 1e-12)
 
 
+def _draw_eps(eps_rng, b: int):
+    """The GP interpolation draw (reference: waveform_train.py:260
+    ``torch.rand(batch_size, 1, 1)``).  A module-level seam so the
+    composed-trajectory oracle test can replay the reference loop's
+    recorded eps stream; production always takes this default."""
+    return jax.random.uniform(eps_rng, (b, 1, 1), dtype=jnp.float32)
+
+
 def gradient_penalty_from_eps(d_params, scg, rhc, pred_rhc, eps, mask=None,
                               remat: bool = False, backend: str = "xla"):
     """WGAN-GP (reference: waveform_train.py:249-286): per-sample uniform
@@ -252,9 +260,7 @@ def critic_loss(
         scg, rhc = scg.astype(dt), rhc.astype(dt)
         pred_rhc = pred_rhc.astype(dt)
     # eps drawn in f32 so the stream is identical across compute dtypes
-    eps = jax.random.uniform(
-        eps_rng, (rhc.shape[0], 1, 1), dtype=jnp.float32
-    ).astype(rhc.dtype)
+    eps = _draw_eps(eps_rng, rhc.shape[0]).astype(rhc.dtype)
     pred_mean, real_mean, gp = _critic_terms(
         d_params, scg, rhc, pred_rhc, eps, cfg.critic_fuse, mask, cfg.remat,
         cfg.critic_backend,

@@ -648,6 +648,7 @@ def test_shape_bucket_step_mode_tail_matches(tiny_setup):
     assert wgan.train_step._cache_size() == base + 1
 
 
+@pytest.mark.slow
 def test_shape_bucket_shares_programs_across_dataset_sizes(tiny_setup):
     """The point of ``shape_bucket``: two datasets with different segment
     counts in the same size octave must produce IDENTICAL train-program
@@ -833,6 +834,7 @@ def _tiny_store(rng, n, c, t):
     )
 
 
+@pytest.mark.slow
 def test_channel_bucket_trajectory_identical():
     """``channel_bucket: true`` zero-pads the SCG channel axis to the
     sweep maximum (4) — and unlike row bucketing this must be EXACTLY
