@@ -25,7 +25,7 @@ def main(argv: list[str] | None = None) -> int:
             "                                        whole-record RHC synthesis\n"
             "       scgrhc sweep [root] [--jobs N] [--epochs E] [--seed S]\n"
             "                    [--train-mode step|epoch] [--fast]\n"
-            "                    [--inproc|--subproc]\n"
+            "                    [--inproc|--subproc] [--prune]\n"
             "                                        generate+run waveform_06..37\n"
             "       scgrhc report [root]             ranked sweep results table\n"
             "       scgrhc plots <dir> <split> <ckpt|best> [n]\n"

@@ -65,6 +65,7 @@ def dispatch(argv: list[str]) -> int:
         # state, compile amortized) via --train-mode epoch.
         jobs, overrides = 1, {"train_mode": "step"}
         inproc = None
+        prune = False
         rest = argv[2:] if root != "." or (len(argv) > 1 and argv[1] == ".") else argv[1:]
         i = 0
         while i < len(rest):
@@ -76,6 +77,10 @@ def dispatch(argv: list[str]) -> int:
                 overrides["seed"] = int(rest[i + 1]); i += 2
             elif rest[i] == "--train-mode":
                 overrides["train_mode"] = rest[i + 1]; i += 2
+            elif rest[i] == "--prune":
+                # reclaim each finished config's non-essential checkpoints
+                # (keeps first/best/last; see sweep.prune_checkpoints)
+                prune = True; i += 1
             elif rest[i] == "--inproc":
                 inproc = True; i += 1
             elif rest[i] == "--subproc":
@@ -106,7 +111,7 @@ def dispatch(argv: list[str]) -> int:
 
             scgrhc.configure_compilation_cache()
         dirs = write_experiments(root, **overrides)
-        results = run_sweep(dirs, jobs=jobs, inproc=inproc)
+        results = run_sweep(dirs, jobs=jobs, inproc=inproc, prune=prune)
         return 0 if all(c == 0 for c in results.values()) else 1
     if cmd == "demo":
         from scgrhc.pipeline import demo

@@ -58,11 +58,45 @@ def run_experiment_inproc(dir_path: str) -> int:
         return 1
 
 
+def prune_checkpoints(dir_path: str) -> int:
+    """Keep first/best/last checkpoints, delete the rest; returns count.
+
+    A completed config's eval + select artifacts (comparison CSVs,
+    checkpoint_scores.csv, checkpoint_best.txt) fully record every
+    epoch's scores; the per-epoch checkpoint files themselves are only
+    needed again for resume (last), the final test (best), or a restart
+    audit (first).  At the reference's 250-epoch cadence each config
+    retains ~10.4 GB of checkpoints (250 × ~41.5 MB) — a full 32-config
+    matrix would exceed this host's disk — so ``sweep --prune`` reclaims
+    them as soon as each config's pipeline exits 0.  Never removes the
+    selected best (read from checkpoint_best.txt before deleting)."""
+    cdir = os.path.join(dir_path, "checkpoints")
+    if not os.path.isdir(cdir):
+        return 0
+    names = sorted(n for n in os.listdir(cdir) if n.endswith(".checkpoint"))
+    if not names:
+        return 0
+    keep = {names[0], names[-1]}
+    best_txt = os.path.join(dir_path, "checkpoint_best.txt")
+    if os.path.exists(best_txt):
+        with open(best_txt) as f:
+            for tok in f.read().split():
+                if tok.endswith(".checkpoint"):
+                    keep.add(tok)
+    removed = 0
+    for n in names:
+        if n not in keep:
+            os.remove(os.path.join(cdir, n))
+            removed += 1
+    return removed
+
+
 def run_sweep(
     dir_paths: list[str],
     jobs: int = 1,
     device_ids: list[int] | None = None,
     inproc: bool = False,
+    prune: bool = False,
 ) -> dict[str, int]:
     """Fan the experiment list out ``jobs`` processes at a time.
 
@@ -71,7 +105,9 @@ def run_sweep(
     experiment-parallel mapping of SURVEY §2.3).  ``inproc`` runs the
     configs serially inside this process instead (requires jobs<=1);
     see :func:`run_experiment_inproc` for why that is the fast path on
-    one chip.  Returns dir_path → exit code.
+    one chip.  ``prune`` reclaims each successful config's non-essential
+    checkpoints as it finishes (:func:`prune_checkpoints`).  Returns
+    dir_path → exit code.
     """
     start = time()
     results: dict[str, int] = {}
@@ -87,6 +123,11 @@ def run_sweep(
             code = run_experiment_inproc(dir_path)
         else:
             code = run_experiment_process(dir_path, env_extra)
+        if prune and code == 0:
+            n = prune_checkpoints(dir_path)
+            if n:
+                print(timelog(f"sweep | pruned {n} checkpoints in {dir_path}",
+                              start))
         print(timelog(f"sweep | done {dir_path} (exit {code})", start))
         return dir_path, code
 

@@ -102,3 +102,47 @@ def test_trace_writes_profile(tmp_path, monkeypatch):
         for f in fs
     ]
     assert files, "no profiler output written"
+
+
+def test_prune_checkpoints_keeps_first_best_last(tmp_path):
+    """``sweep --prune`` reclaims a finished config's checkpoints but must
+    never remove the first, the selected best (checkpoint_best.txt), or
+    the last (resume point)."""
+    from scgrhc.pipeline.sweep import prune_checkpoints
+
+    d = tmp_path / "waveform_06"
+    cdir = d / "checkpoints"
+    os.makedirs(cdir)
+    for ep in range(6):
+        (cdir / f"{ep:03d}.checkpoint").write_bytes(b"x")
+    (d / "checkpoint_best.txt").write_text(
+        "checkpoint         003.checkpoint\npcc_r  0.5\n"
+    )
+    assert prune_checkpoints(str(d)) == 3
+    assert sorted(os.listdir(cdir)) == [
+        "000.checkpoint", "003.checkpoint", "005.checkpoint"
+    ]
+    # idempotent; and a dir with no checkpoints is a no-op
+    assert prune_checkpoints(str(d)) == 0
+    assert prune_checkpoints(str(tmp_path / "missing")) == 0
+
+
+def test_run_sweep_prune_only_on_success(tmp_path, monkeypatch):
+    from scgrhc.pipeline import sweep as sweep_mod
+
+    dirs = []
+    for name, code in (("ok", 0), ("bad", 1)):
+        d = tmp_path / name
+        os.makedirs(d / "checkpoints")
+        for ep in range(3):
+            (d / "checkpoints" / f"{ep:03d}.checkpoint").write_bytes(b"x")
+        dirs.append(str(d))
+
+    monkeypatch.setattr(
+        sweep_mod, "run_experiment_process",
+        lambda d, env_extra=None: 1 if d.endswith("bad") else 0,
+    )
+    results = sweep_mod.run_sweep(dirs, jobs=1, prune=True)
+    assert results[dirs[0]] == 0 and results[dirs[1]] == 1
+    assert len(os.listdir(tmp_path / "ok" / "checkpoints")) == 2  # first+last
+    assert len(os.listdir(tmp_path / "bad" / "checkpoints")) == 3  # untouched
