@@ -208,6 +208,51 @@ def _to_numpy(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+_flat_fetch_jit = None
+
+
+def _fetch_tree_batched(tree):
+    """Pull a device pytree to host numpy in ONE device→host transfer.
+
+    Per-leaf ``np.asarray`` pays a device→host round-trip per leaf; on a
+    remote-TPU (tunneled) host that latency dominates the per-epoch
+    checkpoint pull — the TrainState is 194 leaves (~41.5 MB), and at
+    ~30 ms/round-trip the latency alone (~6 s) exceeds the ~4.3 s the
+    bytes need at the measured ~9.5 MB/s D2H bandwidth.  Concatenating
+    the float32 leaves on device (one cached jitted program) turns the
+    pull into a single bandwidth-bound transfer; the handful of non-f32
+    leaves (Adam step counters) fetch individually.  Bytes are identical
+    to the per-leaf path; any failure falls back to it."""
+    leaves, treedef = jax.tree.flatten(tree)
+    f32 = [
+        i for i, l in enumerate(leaves)
+        if isinstance(l, jax.Array) and l.dtype == np.float32 and l.size > 0
+    ]
+    if len(f32) < 2:
+        return _to_numpy(tree)
+    try:
+        global _flat_fetch_jit
+        if _flat_fetch_jit is None:
+            import jax.numpy as jnp
+
+            _flat_fetch_jit = jax.jit(
+                lambda xs: jnp.concatenate([x.ravel() for x in xs])
+            )
+        host = np.asarray(_flat_fetch_jit([leaves[i] for i in f32]))
+    except Exception:
+        return _to_numpy(tree)  # exotic shardings/platforms: per-leaf path
+    out = list(leaves)
+    off = 0
+    for i in f32:
+        n = leaves[i].size
+        out[i] = host[off:off + n].reshape(leaves[i].shape)
+        off += n
+    for i, l in enumerate(out):
+        if not isinstance(l, np.ndarray):
+            out[i] = np.asarray(l)
+    return jax.tree.unflatten(treedef, out)
+
+
 _async_thread = None
 _async_error: list = []
 _copy_jit = None
@@ -275,6 +320,7 @@ def save(
     d_losses = list(d_losses)
 
     def _write():
+        st = _fetch_tree_batched(state)  # ONE D2H pull (see docstring)
         ckpt = {
             "format": _NATIVE_TAG,
             "start_time": start_time,
@@ -282,16 +328,16 @@ def save(
             "g_losses": g_losses,
             "d_losses": d_losses,
             "g_state_dict": torch_compat.generator_to_torch_sd(
-                _to_numpy(state.g_params), as_torch=False
+                st.g_params, as_torch=False
             ),
             "d_state_dict": torch_compat.critic_to_torch_sd(
-                _to_numpy(state.d_params), as_torch=False
+                st.d_params, as_torch=False
             ),
             "g_optimizer_state_dict": optax_to_torch_adam_sd(
-                state.g_opt, state.g_params, "generator", cfg
+                st.g_opt, st.g_params, "generator", cfg
             ),
             "d_optimizer_state_dict": optax_to_torch_adam_sd(
-                state.d_opt, state.d_params, "critic", cfg
+                st.d_opt, st.d_params, "critic", cfg
             ),
         }
         tmp = path + ".tmp"

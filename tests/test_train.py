@@ -1016,3 +1016,18 @@ def test_train_loop_surfaces_async_error_on_success_path(
         )
     assert ckpt_io._async_thread is None
     assert not ckpt_io._async_error
+
+
+def test_batched_state_fetch_identical(tiny_setup):
+    """The one-transfer checkpoint pull must be byte-identical to the
+    per-leaf np.asarray path (it feeds the reference-layout pickle)."""
+    cfg, _, _, _ = tiny_setup
+    state = init_state(jax.random.key(3), 2, cfg)
+    a = ckpt_io._fetch_tree_batched(state)
+    b = ckpt_io._to_numpy(state)
+    assert isinstance(a, type(state))
+    jax.tree.map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)),
+        a, b,
+    )
+    assert all(isinstance(l, np.ndarray) for l in jax.tree.leaves(a))
