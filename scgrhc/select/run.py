@@ -109,6 +109,17 @@ def _reverify_near_ties(params, scores, start_time: float) -> list[dict]:
     from scgrhc.eval import run as eval_run
     from scgrhc.parallel import comm
 
+    # A re-run after ``sweep --prune`` can find near-tied checkpoint FILES
+    # deleted (pruning only happens after a select already completed, so
+    # the recorded decision stands).  Re-verifying just the survivors
+    # would mix serial and stacked scores across the tied set — skip the
+    # guard entirely instead.
+    ckpt_dir = params.checkpoint_dir_path
+    if any(
+        not os.path.exists(os.path.join(ckpt_dir, scores[i]["checkpoint"]))
+        for i in tied
+    ):
+        return scores
     names = [scores[i]["checkpoint"] for i in tied]
     print(
         timelog(

@@ -100,6 +100,7 @@ def test_fused_critic_param_grads_match_xla():
     )
 
 
+@pytest.mark.slow
 def test_fused_critic_second_order_gp_matches_xla():
     """The money test: d(critic WGAN-GP loss)/d(params) — which
     differentiates the GP's input-gradient a second time — agrees between

@@ -18,7 +18,11 @@ from scgrhc.eval.infer import predict_split
 from scgrhc.train import checkpoint as ckpt_io
 from scgrhc.train.wgan import TrainConfig, init_state
 
-T = 750
+# 256 keeps all math shape-generic (pcc/rmse/CSV/quirks are length-
+# agnostic) while cutting the 1-core-CPU compile+run cost of every
+# jitted U-Net/WGAN program in this file ~3x; reference-length (750)
+# parity coverage lives in test_models_parity / test_reference_parity.
+T = 256
 
 
 # -- metric formula parity vs scipy -------------------------------------------
@@ -267,6 +271,7 @@ def test_eval_stage_writes_reference_csv(exp_dir):
     assert os.path.getmtime(os.path.join(comp, "000.csv")) == mtime
 
 
+@pytest.mark.slow
 def test_plots_stage(exp_dir):
     """Top-N / random-N comparison figures land in pred_top / pred_rand
     (the reference configs name these dirs but never fill them)."""
@@ -334,6 +339,7 @@ def test_predict_split_multi_matches_serial(g_setup):
         np.testing.assert_allclose(s1["rmse"], s2["rmse"], rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_eval_stage_stacked_equals_serial(exp_dir):
     """'test all' writes identical CSVs whether checkpoints are scored
     serially (eval_stack=1) or stacked+vmapped (the default)."""
@@ -514,3 +520,22 @@ def test_select_near_tie_guard_reverifies_serially(exp_dir, monkeypatch, capsys)
     eval_calls.clear()
     assert select_run._reverify_near_ties(exp_dir, [dict(s) for s in tied], 0.0) == tied
     assert eval_calls == []
+
+
+def test_select_near_tie_guard_skips_pruned_checkpoints(exp_dir, monkeypatch):
+    """A select re-run after ``sweep --prune`` must not try to re-eval a
+    deleted checkpoint file — the recorded decision stands."""
+    from scgrhc.eval import run as eval_run
+    from scgrhc.select import run as select_run
+
+    scores = [
+        {"checkpoint": "000.checkpoint", "pcc_r": 0.5},
+        {"checkpoint": "001.checkpoint", "pcc_r": 0.5 + 5e-5},
+    ]
+    os.remove(os.path.join(exp_dir.checkpoint_dir_path, "000.checkpoint"))
+    called = []
+    monkeypatch.setattr(
+        eval_run, "run", lambda *a, **k: called.append(a)
+    )
+    out = select_run._reverify_near_ties(exp_dir, [dict(s) for s in scores], 0.0)
+    assert out == scores and called == []

@@ -19,6 +19,7 @@ def test_entry_jittable():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge
 
@@ -29,6 +30,7 @@ def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_bench_json_line(monkeypatch):
     """bench.py main() prints exactly one valid JSON line with the
     required keys (tiny shapes via monkeypatch: CPU-friendly)."""

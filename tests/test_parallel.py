@@ -26,6 +26,7 @@ def test_mesh_axes(mesh8):
     assert mesh8.devices.size == 8
 
 
+@pytest.mark.slow
 def test_dp_train_step_matches_single_device(mesh8):
     """One DP step over 8 chips == the same step unsharded (GSPMD inserts
     the gradient all-reduce; numerics match to f32 reassociation)."""
@@ -57,6 +58,7 @@ def test_dp_train_step_matches_single_device(mesh8):
     )
 
 
+@pytest.mark.slow
 def test_dp_gather_place_and_epoch_scan(mesh8):
     """The train stage's multi-chip epoch path: the store is replicated
     into HBM once (NOT re-staged per epoch), only the (nb, B) permutation

@@ -53,6 +53,7 @@ def test_pipeline_single_microbatch_and_clamped_mb(params, mesh):
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_pipeline_bf16_payload(params, mesh):
     # bf16 weight tree ⇒ bf16 skips on the wire (half the ICI bytes) and
     # an f32 output epilogue (cast_params keeps `final` f32).  Compare

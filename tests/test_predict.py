@@ -65,6 +65,7 @@ def test_predict_overlap_and_denorm(exp_with_ckpt):
     assert meta["overlap_samples"] == 250 and meta["denormalized"]
 
 
+@pytest.mark.slow
 def test_predict_continuous_mode(exp_with_ckpt):
     """Seam-free whole-record mode: full record length out, no window
     truncation (uses models.cp; CP-sharded when L divides the mesh)."""

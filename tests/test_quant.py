@@ -57,6 +57,7 @@ def test_weight_quantization_roundtrip(setup):
     assert (err <= 0.5 * ws[:, None, None] + 1e-7).all()
 
 
+@pytest.mark.slow
 def test_int8_forward_close_to_f32(setup):
     """Task-level parity: int8 predictions are strongly correlated with the
     f32 forward.  At random init (worst case — no trained structure, every
@@ -112,6 +113,7 @@ def test_params_dtype_validation(tmp_path):
         Params(write({"train_dtype": "int8"}))
 
 
+@pytest.mark.slow
 def test_predict_split_int8(setup):
     """``dtype: "int8"`` flows through the eval stage unchanged — both the
     serial chunked path and the vmapped stacked multi-checkpoint path."""

@@ -20,7 +20,11 @@ from scgrhc.train.wgan import (
     train_step,
 )
 
-T = 750
+# 256 keeps all math shape-generic (pcc/rmse/CSV/quirks are length-
+# agnostic) while cutting the 1-core-CPU compile+run cost of every
+# jitted U-Net/WGAN program in this file ~3x; reference-length (750)
+# parity coverage lives in test_models_parity / test_reference_parity.
+T = 256
 
 
 def test_gradient_penalty_matches_torch():
@@ -729,6 +733,7 @@ def test_bf16_training_trajectory_tracks_f32(tiny_setup):
     assert g32[-1] < g32[0] and g16[-1] < g16[0]
 
 
+@pytest.mark.slow
 def test_remat_step_matches_plain(tiny_setup):
     """remat=True (recompute-for-bandwidth) changes scheduling only:
     same keys -> same losses/params to f32 reassociation tolerance."""
@@ -747,6 +752,7 @@ def test_remat_step_matches_plain(tiny_setup):
     )
 
 
+@pytest.mark.slow
 def test_pallas_conv_backend_step_matches_xla(tiny_setup):
     """conv_backend='pallas' (fused generator conv blocks) is a pure
     scheduling change: same keys -> same losses/params within f32
@@ -776,6 +782,7 @@ def test_pallas_conv_backend_step_matches_xla(tiny_setup):
     )
 
 
+@pytest.mark.slow
 def test_reuse_pred_and_rng_impl_run(tiny_setup):
     """Opt-in reuse_pred (one shared G forward per step) and the rbg loop
     RNG produce finite losses and genuinely different trajectories from
@@ -900,6 +907,7 @@ def test_channel_bucket_pad_slice_roundtrip():
     )
 
 
+@pytest.mark.slow
 def test_channel_bucket_shares_programs_across_channel_counts():
     """The point of ``channel_bucket``: configs with different SCG channel
     subsets (1 vs 2 here) must hit ONE compiled train program — on-chip
