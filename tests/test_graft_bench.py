@@ -5,6 +5,8 @@ import json
 import subprocess
 import sys
 
+import pytest
+
 import numpy as np
 
 import jax
@@ -86,9 +88,6 @@ def test_bench_data_mode():
     rec = _run_mode(["--mode", "data"])
     assert rec["metric"] == "data_stage_throughput"
     assert rec["segments"] > 0
-
-
-import pytest
 
 
 def test_compile_budget_timeout_detaches_child(monkeypatch, tmp_path):
