@@ -107,7 +107,7 @@ def test_sweep_configures_cache_only_inproc(monkeypatch, tmp_path):
     )
     monkeypatch.setattr(
         sweep_mod, "run_sweep",
-        lambda dirs, jobs, inproc: {d: 0 for d in dirs},
+        lambda dirs, jobs, inproc, prune=False: {d: 0 for d in dirs},
     )
 
     assert pr.dispatch(["sweep", str(tmp_path), "--jobs", "2"]) == 0
