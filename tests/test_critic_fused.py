@@ -82,6 +82,7 @@ def test_fused_critic_forward_matches_xla():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
 
 
+@pytest.mark.slow
 def test_fused_critic_param_grads_match_xla():
     b, c_in = 2, 1
     params = critic.init(jax.random.key(1), c_in)
@@ -133,6 +134,7 @@ def test_fused_critic_second_order_gp_matches_xla():
     )
 
 
+@pytest.mark.slow
 def test_fused_gp_value_matches_pinned_eps():
     """The gradient penalty VALUE (input-gradient norms through the fused
     bwd_dx kernels) matches the XLA path with a pinned interpolation eps."""

@@ -121,6 +121,7 @@ def test_predict_split_bfloat16(g_setup):
     assert (r > 0.99).all()
 
 
+@pytest.mark.slow
 def test_bf16_f32_epilogue_protects_near_constant_outputs():
     """The f32 output epilogue (cast_params keeps the final 1×1 conv in
     f32; apply runs it in the weights' dtype) keeps bf16 Pearson drift

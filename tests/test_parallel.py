@@ -164,6 +164,7 @@ def test_stream_infer_overlap_blend():
     assert out.ndim == 1 and np.isfinite(out).all()
 
 
+@pytest.mark.slow
 def test_tp_sharded_forward_matches(mesh8):
     """Generator forward with TP-annotated params (out-channels on the
     'model' axis of a 2x4 DP x TP mesh) == replicated forward."""

@@ -36,6 +36,7 @@ def test_pipeline_matches_single_device(params, mesh):
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_pipeline_pads_ragged_batch(params, mesh):
     # B=13, mb=4 → 4 microbatches with one padded row, dropped on return.
     x = jax.random.uniform(jax.random.key(2), (13, C, T), jnp.float32)
@@ -45,6 +46,7 @@ def test_pipeline_pads_ragged_batch(params, mesh):
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_pipeline_single_microbatch_and_clamped_mb(params, mesh):
     # mb > B clamps to B: a 1-microbatch pipeline (pure 2-tick handoff).
     x = jax.random.uniform(jax.random.key(3), (3, C, T), jnp.float32)

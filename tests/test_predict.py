@@ -113,6 +113,7 @@ def test_predict_best_handshake(exp_with_ckpt):
     assert predict.resolve_checkpoint(exp_with_ckpt, "best") == "003.checkpoint"
 
 
+@pytest.mark.slow
 def test_digital_stream_matches_physical(exp_with_ckpt):
     """The int16-ADC upload + on-device calibration path produces the same
     prediction as the float32 physical path (the predict stage and serve

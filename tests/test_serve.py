@@ -118,6 +118,7 @@ def test_serve_rejects_path_traversal(exp_with_ckpt, tmp_path):
     assert not os.path.exists(os.path.join(pred_dir, "..", "owned.npy"))
 
 
+@pytest.mark.slow
 def test_serve_lazy_calibrate(exp_with_ckpt):
     """A per-request {"calibrate": true} on a daemon started WITHOUT
     --calibrate computes the cohort range lazily (round-2 review fix) and
