@@ -15,6 +15,7 @@ inference on device (see scgrhc.eval.infer).
 from __future__ import annotations
 
 import os
+import threading
 from time import time
 
 import jax
@@ -107,6 +108,32 @@ def get_waveform_comparisons(
     return _comparison_rows(store, real, pred, scores)
 
 
+# pandas string-DataFrame construction is hazardous off the main thread
+# in this environment: libarrow initializes lazy globals on the first
+# ArrowStringArray ever built, and when that FIRST construction happens
+# on a writer-pool thread (or two threads race into it) libarrow
+# null-derefs (observed: kernel `segfault ... in libarrow.so.2500`,
+# fatal dumps with threads inside string_arrow._from_sequence).  Two
+# defenses: `_warm_pandas()` performs one throwaway construction on the
+# MAIN thread before any pool write, and the lock serializes
+# writer-vs-writer (CSV serialization is cheap relative to device
+# compute, so neither costs wall time).
+_pandas_write_lock = threading.Lock()
+_pandas_warmed = False
+
+
+def _warm_pandas() -> None:
+    global _pandas_warmed
+    if _pandas_warmed:
+        return
+    import pandas as pd
+
+    pd.DataFrame(
+        [{c: "0" for c in CSV_COLUMNS}], columns=CSV_COLUMNS
+    ).to_csv(os.devnull, index=False)
+    _pandas_warmed = True
+
+
 def _write_comparison_csv(comparisons, comp_dir_path, ckpt_name):
     import pandas as pd
 
@@ -117,10 +144,11 @@ def _write_comparison_csv(comparisons, comp_dir_path, ckpt_name):
     comparisons.sort(key=lambda c: c["pcc_r"], reverse=True)
     checkpoint_str = ckpt_name.split(".")[0]
     comparison_path = os.path.join(comp_dir_path, f"{checkpoint_str}.csv")
-    # explicit columns: an empty split still writes a parseable header
-    pd.DataFrame(comparisons, columns=CSV_COLUMNS).to_csv(
-        comparison_path, index=False
-    )
+    with _pandas_write_lock:
+        # explicit columns: an empty split still writes a parseable header
+        pd.DataFrame(comparisons, columns=CSV_COLUMNS).to_csv(
+            comparison_path, index=False
+        )
 
 
 def run(params, loader_type: str, checkpoint_path: str) -> None:
@@ -305,6 +333,7 @@ def _run_stacked(
 
     store = loader.dataset
     groups = [todo[i : i + stack] for i in range(0, len(todo), stack)]
+    _warm_pandas()  # libarrow lazy init MUST happen on the main thread
     load_pool = ThreadPoolExecutor(max_workers=1)
     write_pool = ThreadPoolExecutor(max_workers=2)
 

@@ -36,6 +36,26 @@ from scgrhc.parallel.mesh import batch_sharding
 STREAM_BATCH = 512
 
 
+def mesh_for_request(mesh, n_samples: int, segment_samples: int,
+                     overlap: int = 0, batch: int = STREAM_BATCH):
+    """The mesh :func:`stream_infer` should shard THIS request over, or None.
+
+    The single implementation of the serving/predict mesh policy
+    (VERDICT r3 #6): records whose window count fits the single-dispatch
+    bucket (``n <= batch``) keep the fused single-chip fast path — its
+    one-dispatch latency is the measured serving optimum and must not
+    change when a mesh is available; only records past the bucket (where
+    the chunked dispatch chain runs anyway) shard their windows.  An
+    out-of-range ``overlap`` returns None so the caller's stream_infer
+    call raises the loud ValueError itself."""
+    t = segment_samples
+    if mesh is None or not 0 <= overlap < t:
+        return None
+    hop = t - overlap if overlap else t
+    n = (n_samples - t) // hop + 1 if n_samples >= t else 0
+    return mesh if n > batch else None
+
+
 def frame_record(x, t: int, hop: int | None = None):
     """(C, L) → (N, C, t) windows, hop defaults to t (non-overlapping,
     truncating the tail — reference: recordutil.py:141-148)."""

@@ -30,7 +30,7 @@ from scgrhc.io.catalog import (
     read_record_digital,
 )
 from scgrhc.models import torch_compat
-from scgrhc.parallel.stream import STREAM_BATCH, stream_infer
+from scgrhc.parallel.stream import stream_infer
 from scgrhc.train import checkpoint as ckpt_io
 from scgrhc.train import orbax_io
 
@@ -159,24 +159,23 @@ def run(
 
     t = params.segment_samples
     overlap = int(overlap_s * SAMPLE_FREQ)
-    hop = (t - overlap) if overlap else t
 
     def _windowed_mesh(n_samples: int):
         # Mesh window-sharding only past the single-dispatch bucket —
-        # small records keep the fused single-chip fast path (same rule
-        # as serve._request_mesh).
+        # small records keep the fused single-chip fast path.  The
+        # policy lives in stream.mesh_for_request (one implementation
+        # for serve + predict); an out-of-range overlap yields None so
+        # stream_infer raises its own loud ValueError.
         if not mesh:
             return None
         import jax
 
         if jax.device_count() <= 1:
             return None
-        n = (n_samples - t) // hop + 1 if n_samples >= t else 0
-        if n <= STREAM_BATCH:
-            return None
         from scgrhc.parallel.mesh import make_mesh
+        from scgrhc.parallel.stream import mesh_for_request
 
-        return make_mesh()
+        return mesh_for_request(make_mesh(), n_samples, t, overlap=overlap)
 
     dig = None if continuous else read_record_digital(
         record_name, params.in_channels

@@ -69,19 +69,15 @@ def _valid_record_name(name) -> bool:
 
 
 def _request_mesh(ctx: dict, n_samples: int, t: int, hop: int):
-    """The serving mesh for THIS request, or None.
+    """The serving mesh for THIS request, or None — the daemon-side
+    wrapper over the single policy implementation
+    (:func:`scgrhc.parallel.stream.mesh_for_request`, VERDICT r3 #6)."""
+    from scgrhc.parallel.stream import mesh_for_request
 
-    Records whose window count fits the single-dispatch bucket (≤ the
-    stream batch) keep the fused single-chip path — its one-dispatch
-    latency is the measured serving optimum and must not change when the
-    daemon runs with ``--mesh``.  Only records past the bucket (where the
-    chunked dispatch chain runs anyway) shard their windows across the
-    mesh (VERDICT r3 #6)."""
-    mesh = ctx.get("mesh")
-    if mesh is None:
-        return None
-    n = (n_samples - t) // hop + 1 if n_samples >= t else 0
-    return mesh if n > ctx.get("stream_batch", STREAM_BATCH) else None
+    return mesh_for_request(
+        ctx.get("mesh"), n_samples, t, overlap=t - hop,
+        batch=ctx.get("stream_batch", STREAM_BATCH),
+    )
 
 
 def _handle(req: dict, ctx: dict) -> dict:
@@ -165,21 +161,27 @@ def _warm(ctx, n_windows: int):
     int16 ADC + on-device-calibration program (the DEFAULT request path —
     read_record_digital succeeds for every int16-representable format)
     and the float32 program (the fallback for records without a digital
-    representation)."""
+    representation).  The daemon's OWN request signature is used — its
+    configured ``stream_batch`` and, when ``n_windows`` lands past the
+    single-dispatch bucket, the mesh-sharded program — so the warmed
+    programs are exactly the ones real requests dispatch."""
     params = ctx["params"]
     t = params.segment_samples
     c = len(params.in_channels)
+    batch = ctx.get("stream_batch", STREAM_BATCH)
+    mesh = _request_mesh(ctx, n_windows * t, t, t)
     rng = np.random.default_rng(0)
     stream_infer(
         ctx["g_params"],
         rng.random((c, n_windows * t)).astype(np.float32),
-        segment_samples=t,
+        segment_samples=t, mesh=mesh, batch=batch,
     )
     adc = rng.integers(-1000, 1000, (c, n_windows * t), dtype=np.int16)
     cal = (np.ones(c, np.float32), np.zeros(c, np.float32),
            np.full(c, -32768.0, np.float32))
     stream_infer(
-        ctx["g_params"], adc, segment_samples=t, calibration=cal
+        ctx["g_params"], adc, segment_samples=t, mesh=mesh, batch=batch,
+        calibration=cal,
     )
 
 

@@ -73,7 +73,11 @@ def prune_checkpoints(dir_path: str) -> int:
     cdir = os.path.join(dir_path, "checkpoints")
     if not os.path.isdir(cdir):
         return 0
-    names = sorted(n for n in os.listdir(cdir) if n.endswith(".checkpoint"))
+    # orbax-backend checkpoints are ``NNN.checkpoint.orbax`` DIRECTORIES
+    names = sorted(
+        n for n in os.listdir(cdir)
+        if n.endswith(".checkpoint") or n.endswith(".checkpoint.orbax")
+    )
     if not names:
         return 0
     keep = {names[0], names[-1]}
@@ -83,10 +87,17 @@ def prune_checkpoints(dir_path: str) -> int:
             for tok in f.read().split():
                 if tok.endswith(".checkpoint"):
                     keep.add(tok)
+                    keep.add(tok + ".orbax")
     removed = 0
     for n in names:
         if n not in keep:
-            os.remove(os.path.join(cdir, n))
+            p = os.path.join(cdir, n)
+            if os.path.isdir(p):
+                import shutil
+
+                shutil.rmtree(p)
+            else:
+                os.remove(p)
             removed += 1
     return removed
 

@@ -113,12 +113,19 @@ def _reverify_near_ties(params, scores, start_time: float) -> list[dict]:
     # deleted (pruning only happens after a select already completed, so
     # the recorded decision stands).  Re-verifying just the survivors
     # would mix serial and stacked scores across the tied set — skip the
-    # guard entirely instead.
+    # guard entirely instead.  Orbax-backend checkpoints live on disk as
+    # ``NNN.checkpoint.orbax`` dirs (eval resolves them the same way).
+    from scgrhc.train import orbax_io
+
     ckpt_dir = params.checkpoint_dir_path
-    if any(
-        not os.path.exists(os.path.join(ckpt_dir, scores[i]["checkpoint"]))
-        for i in tied
-    ):
+
+    def _on_disk(name: str) -> bool:
+        p = os.path.join(ckpt_dir, name)
+        return os.path.exists(p) or orbax_io.is_orbax_checkpoint(
+            p + orbax_io.ORBAX_SUFFIX
+        )
+
+    if any(not _on_disk(scores[i]["checkpoint"]) for i in tied):
         return scores
     names = [scores[i]["checkpoint"] for i in tied]
     print(
@@ -130,20 +137,70 @@ def _reverify_near_ties(params, scores, start_time: float) -> list[dict]:
         )
     )
     comp_dir = os.path.join(params.comparison_dir_path, "valid")
+    # Crash-safe replacement: the stacked CSVs are renamed aside (not
+    # deleted — eval treats an existing CSV as already-processed, so a
+    # rename is what makes the re-eval run) and restored if anything
+    # fails before its serial rewrite lands.  A kill between remove and
+    # rewrite would otherwise leave a later select-only rerun scoring a
+    # silently incomplete CSV set — the missing leaders would simply not
+    # be candidates.
+    # Backups live in a SIBLING directory: eval's processed-checkpoint
+    # skip matches any file in comp_dir by stem, so an in-place
+    # "000.csv.stacked" would make the re-eval a silent no-op.
+    bak_dir = comp_dir + ".reverify_bak"
+    backups = {}
     if comm.is_primary():  # single-writer discipline on pods
+        os.makedirs(bak_dir, exist_ok=True)
         for name in names:
-            csv_path = os.path.join(comp_dir, f"{name.split('.')[0]}.csv")
+            stem = name.split(".")[0]
+            csv_path = os.path.join(comp_dir, f"{stem}.csv")
             if os.path.exists(csv_path):
-                os.remove(csv_path)
+                bak = os.path.join(bak_dir, f"{stem}.csv")
+                os.replace(csv_path, bak)
+                backups[csv_path] = bak
     comm.barrier("select_reverify")
-    for i, name in zip(tied, names):
-        eval_run.run(params, "valid", name)
-        score = _score_comparison_csv(
-            os.path.join(comp_dir, f"{name.split('.')[0]}.csv")
-        )
-        if score is not None:
-            scores[i] = {"checkpoint": name, **score}
+    try:
+        for i, name in zip(tied, names):
+            csv_path = os.path.join(comp_dir, f"{name.split('.')[0]}.csv")
+            eval_run.run(params, "valid", name)
+            score = _score_comparison_csv(csv_path)
+            if score is not None:
+                scores[i] = {"checkpoint": name, **score}
+                backups.pop(csv_path, None)  # serial rewrite is durable
+    except BaseException:
+        if comm.is_primary():
+            for csv_path, bak in backups.items():
+                if not os.path.exists(csv_path) and os.path.exists(bak):
+                    os.replace(bak, csv_path)
+        raise
+    if comm.is_primary():
+        # entries never popped: the rewrite produced no score (empty
+        # split) — keep the original stacked CSV as the artifact
+        for csv_path, bak in backups.items():
+            if os.path.exists(bak):
+                os.replace(bak, csv_path)
+        try:
+            os.rmdir(bak_dir)
+        except OSError:
+            pass  # leftover backups from an earlier crash: keep them
     return scores
+
+
+def _restore_reverify_backups(params) -> None:
+    """Heal a hard kill mid near-tie re-verify: any stacked CSV parked in
+    the backup dir whose comparison CSV is missing is restored before
+    scoring, so the candidate set is always complete."""
+    comp_dir = os.path.join(params.comparison_dir_path, "valid")
+    bak_dir = comp_dir + ".reverify_bak"
+    if not os.path.isdir(bak_dir):
+        return
+    for n in os.listdir(bak_dir):
+        dst = os.path.join(comp_dir, n)
+        if not os.path.exists(dst):
+            os.replace(os.path.join(bak_dir, n), dst)
+        else:  # serial rewrite landed before the kill: it wins
+            os.remove(os.path.join(bak_dir, n))
+    os.rmdir(bak_dir)
 
 
 def run(params) -> None:
@@ -151,6 +208,7 @@ def run(params) -> None:
 
     start_time = time()
     print(timelog(f"Run waveform_checkpoint for {params.dir_path}", start_time))
+    _restore_reverify_backups(params)
     scores = get_checkpoint_scores(params, start_time)
     scores = _reverify_near_ties(params, scores, start_time)
     from scgrhc.parallel import comm

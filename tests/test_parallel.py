@@ -290,3 +290,20 @@ def test_blend_keeps_record_endpoints():
     # single window: blend degenerates to the prediction itself
     one = _blend(pred[:1], hop=4, t=8)
     np.testing.assert_allclose(one, 5.0)
+
+
+def test_mesh_for_request_policy(mesh8):
+    """Single policy implementation for serve + predict (VERDICT r3 #6
+    review): past-the-bucket shards, in-bucket and invalid overlaps do
+    not (invalid overlap defers to stream_infer's loud ValueError)."""
+    from scgrhc.parallel.stream import mesh_for_request
+
+    t = 100
+    assert mesh_for_request(mesh8, 20 * t, t, batch=16) is mesh8
+    assert mesh_for_request(mesh8, 16 * t, t, batch=16) is None
+    assert mesh_for_request(None, 20 * t, t, batch=16) is None
+    # overlap == t used to ZeroDivision in predict's copy of the gate
+    assert mesh_for_request(mesh8, 20 * t, t, overlap=t, batch=16) is None
+    assert mesh_for_request(mesh8, 20 * t, t, overlap=-1, batch=16) is None
+    # overlapped windows count correctly: 20t samples at hop t/2
+    assert mesh_for_request(mesh8, 17 * t, t, overlap=t // 2, batch=32) is mesh8

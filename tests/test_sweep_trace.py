@@ -146,3 +146,21 @@ def test_run_sweep_prune_only_on_success(tmp_path, monkeypatch):
     assert results[dirs[0]] == 0 and results[dirs[1]] == 1
     assert len(os.listdir(tmp_path / "ok" / "checkpoints")) == 2  # first+last
     assert len(os.listdir(tmp_path / "bad" / "checkpoints")) == 3  # untouched
+
+
+def test_prune_checkpoints_handles_orbax_dirs(tmp_path):
+    from scgrhc.pipeline.sweep import prune_checkpoints
+
+    d = tmp_path / "waveform_06"
+    cdir = d / "checkpoints"
+    os.makedirs(cdir)
+    for ep in range(5):
+        os.makedirs(cdir / f"{ep:03d}.checkpoint.orbax")
+        (cdir / f"{ep:03d}.checkpoint.orbax" / "meta.json").write_text("{}")
+    (d / "checkpoint_best.txt").write_text(
+        "checkpoint         002.checkpoint\n"
+    )
+    assert prune_checkpoints(str(d)) == 2
+    assert sorted(os.listdir(cdir)) == [
+        "000.checkpoint.orbax", "002.checkpoint.orbax", "004.checkpoint.orbax"
+    ]
