@@ -132,13 +132,16 @@ def test_generator_adversarial_term_zero_grad(tiny_setup):
 
     cfg, state, scg, rhc = tiny_setup
     rng = jax.random.key(3)
-    full = jax.grad(generator_loss)(state.g_params, state.d_params, scg, rhc, rng, cfg)
+    # jitted: eager grad re-traces per op on the 1-core host (~4x slower)
+    full = jax.jit(jax.grad(generator_loss), static_argnames=("cfg",))(
+        state.g_params, state.d_params, scg, rhc, rng, cfg
+    )
 
     def mse_only(g_params):
         pred = generator.apply(g_params, scg, rng=rng, train=True)
         return cfg.lambda_aux * jnp.mean(jnp.square(pred - rhc))
 
-    mse_grad = jax.grad(mse_only)(state.g_params)
+    mse_grad = jax.jit(jax.grad(mse_only))(state.g_params)
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 rtol=1e-6, atol=1e-7),
@@ -154,7 +157,7 @@ def test_fix_g_adversarial_changes_gradient(tiny_setup):
     cfg, state, scg, rhc = tiny_setup
     cfg_fix = cfg._replace(fix_g_adversarial=True)
     rng = jax.random.key(3)
-    fixed = jax.grad(generator_loss)(
+    fixed = jax.jit(jax.grad(generator_loss), static_argnames=("cfg",))(
         state.g_params, state.d_params, scg, rhc, rng, cfg_fix
     )
 
@@ -162,7 +165,7 @@ def test_fix_g_adversarial_changes_gradient(tiny_setup):
         pred = generator.apply(g_params, scg, rng=rng, train=True)
         return cfg.lambda_aux * jnp.mean(jnp.square(pred - rhc))
 
-    mse_grad = jax.grad(mse_only)(state.g_params)
+    mse_grad = jax.jit(jax.grad(mse_only))(state.g_params)
     diff = jax.tree.reduce(
         lambda a, b: a + b,
         jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()), fixed, mse_grad),
