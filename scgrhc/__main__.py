@@ -21,7 +21,7 @@ def main(argv: list[str] | None = None) -> int:
             "       scgrhc predict <dir> <record> [ckpt|best|last] [--overlap S]\n"
             "                      [--mesh]\n"
             "       scgrhc serve <dir> [ckpt|best|last] [--calibrate] [--warm N]\n"
-            "                    [--mesh]\n"
+            "                    [--mesh] [--timeout S]\n"
             "                                        whole-record RHC synthesis\n"
             "       scgrhc sweep [root] [--jobs N] [--epochs E] [--seed S]\n"
             "                    [--train-mode step|epoch] [--fast]\n"

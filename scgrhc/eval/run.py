@@ -39,14 +39,26 @@ CSV_COLUMNS = [
 
 def _is_oom(e: BaseException) -> bool:
     """XLA out-of-memory detection across jaxlib spellings (compile-time
-    allocation failures and runtime RESOURCE_EXHAUSTED both match)."""
+    allocation failures and runtime RESOURCE_EXHAUSTED both match).
+
+    Deliberately narrow (ADVICE r4): a bare 'out of memory' substring on
+    an arbitrary exception (a host MemoryError wrapped by a loader, a
+    subprocess error string) must surface, not silently halve
+    ``eval_stack`` — so the message must carry an XLA signature
+    (RESOURCE_EXHAUSTED / explicit HBM mention) or the exception must be
+    an XLA runtime error type."""
     msg = str(e)
-    return (
-        "RESOURCE_EXHAUSTED" in msg
-        or "Ran out of memory" in msg
+    if "RESOURCE_EXHAUSTED" in msg:
+        return True
+    xla_type = "XlaRuntimeError" in type(e).__name__ or any(
+        "XlaRuntimeError" in t.__name__ for t in type(e).__mro__
+    )
+    oom_text = (
+        "Ran out of memory" in msg
         or "Out of memory" in msg
         or "out of memory" in msg
     )
+    return oom_text and (xla_type or "hbm" in msg.lower())
 
 
 def _auto_sharding():

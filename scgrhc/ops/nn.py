@@ -85,10 +85,12 @@ def instance_norm(x, eps: float = IN_EPS):
     """Per-(sample, channel) normalization over time; no affine params
     (torch ``nn.InstanceNorm1d`` defaults; reference: waveform_train.py:47,136).
 
-    Statistics are always computed in float32 — a 750-sample mean/variance
-    in bf16 loses ~2 decimal digits, which the normalization would amplify.
+    Statistics are computed in float32 (a 750-sample mean/variance in bf16
+    loses ~2 decimal digits, which the normalization would amplify) — or in
+    float64 when the input is float64 (the f64 oracle tests under
+    ``jax_enable_x64``; f64 never occurs in production paths).
     """
-    x32 = x.astype(jnp.float32)
+    x32 = x.astype(jnp.float64 if x.dtype == jnp.dtype(jnp.float64) else jnp.float32)
     # One-pass stats: E[x] and E[x²] reduce in the same XLA fusion (one
     # HBM read), where E[(x-mean)²] would chain a second read behind the
     # mean.  Biased variance either way; f32 keeps the cancellation in

@@ -249,6 +249,13 @@ def stream_infer(
 
     sharding = batch_sharding(mesh) if mesh is not None else None
     batch = max(1, min(batch, n))
+    if mesh is not None:
+        # dim-0 sharded device_put needs batch % mesh-device-count == 0;
+        # round UP to the next multiple so a custom stream_batch or a
+        # non-power-of-two device count can't fault mid-request (ADVICE
+        # r4) — the tail-pad below already makes any chunk size exact.
+        d = max(1, mesh.devices.size)
+        batch = ((batch + d - 1) // d) * d
     if rhc_minmax is not None:
         lo, hi = (jnp.float32(v) for v in rhc_minmax)
     else:

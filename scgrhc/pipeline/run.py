@@ -208,18 +208,26 @@ def dispatch(argv: list[str]) -> int:
 
         rest = argv[2:]
         which = rest[0] if rest and not rest[0].startswith("--") else "best"
+        usage = ("usage: scgrhc serve <dir> [ckpt] "
+                 "[--calibrate] [--warm N] [--mesh] [--timeout S]")
         warm = 0
         if "--warm" in rest:
             i = rest.index("--warm")
             try:
                 warm = int(rest[i + 1])
             except (IndexError, ValueError):
-                raise SystemExit("usage: scgrhc serve <dir> [ckpt] "
-                                 "[--calibrate] [--warm N] [--mesh]")
+                raise SystemExit(usage)
+        timeout = None
+        if "--timeout" in rest:
+            i = rest.index("--timeout")
+            try:
+                timeout = float(rest[i + 1])
+            except (IndexError, ValueError):
+                raise SystemExit(usage)
         params = Params(os.path.join(argv[1], "params.json"))
         serve.run(
             params, checkpoint=which, calibrate="--calibrate" in rest,
-            warm=warm, mesh="--mesh" in rest,
+            warm=warm, mesh="--mesh" in rest, timeout=timeout,
         )
         return 0
     if cmd in ("data", "train", "test", "select"):

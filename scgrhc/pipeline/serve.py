@@ -80,6 +80,49 @@ def _request_mesh(ctx: dict, n_samples: int, t: int, hop: int):
     )
 
 
+def _handle_with_deadline(req: dict, ctx: dict, timeout_s) -> dict:
+    """Run one request with a wall-clock deadline (``--timeout S``).
+
+    This machine's documented failure mode is a tunnel transfer that
+    wedges SILENTLY mid-dispatch (socket stuck in ``tcp_recvmsg``, no
+    error, no timeout — it hit a real depth run, BENCH.md "Resilience").
+    Without a deadline, one wedged dispatch blocks the daemon AND its
+    client forever, violating the per-request error-isolation contract.
+
+    On expiry the in-flight work is ABANDONED (daemon thread), never
+    killed: interrupting a wedged in-flight compile/transfer can wedge
+    the chip itself (the same reason ``bench.py --compile-budget``
+    detaches rather than kills).  The client gets the daemon's standard
+    error JSON and the daemon stays alive for the next request — which
+    will of course also time out if the tunnel itself is still down;
+    the deadline converts a silent hang into a visible, retryable
+    error, it does not repair the transport."""
+    if not timeout_s:
+        return _handle(req, ctx)
+    import threading
+
+    box = {}
+
+    def work():
+        try:
+            box["resp"] = _handle(req, ctx)
+        except BaseException as e:  # re-raised on the request thread
+            box["exc"] = e
+
+    th = threading.Thread(target=work, daemon=True, name="serve-request")
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        raise TimeoutError(
+            f"request exceeded --timeout {timeout_s}s; in-flight dispatch "
+            "abandoned (not killed — killing a wedged transfer/compile can "
+            "wedge the chip). Retry when the device/tunnel recovers."
+        )
+    if "exc" in box:
+        raise box["exc"]
+    return box["resp"]
+
+
 def _handle(req: dict, ctx: dict) -> dict:
     params = ctx["params"]
     t0 = perf_counter()
@@ -164,7 +207,13 @@ def _warm(ctx, n_windows: int):
     representation).  The daemon's OWN request signature is used — its
     configured ``stream_batch`` and, when ``n_windows`` lands past the
     single-dispatch bucket, the mesh-sharded program — so the warmed
-    programs are exactly the ones real requests dispatch."""
+    programs are exactly the ones OVERLAP-0 requests dispatch.
+
+    Scope (ADVICE r4): requests that pass ``overlap_s`` frame with a
+    request-dependent hop, which is a different program signature per
+    distinct hop — unknowable at warm time — so the first overlapped
+    request at each new hop still pays its compile (~21 s through the
+    tunnel).  Overlap-0 requests (the default) are fully precompiled."""
     params = ctx["params"]
     t = params.segment_samples
     c = len(params.in_channels)
@@ -195,8 +244,12 @@ def run(
     stream_batch: int = STREAM_BATCH,
     stdin=None,
     stdout=None,
+    timeout: float | None = None,
 ) -> int:
     """Serve until EOF or ``{"cmd": "quit"}``.  Returns requests served.
+
+    ``timeout`` (CLI ``--timeout S``) bounds each request's wall clock —
+    see :func:`_handle_with_deadline` for the wedged-tunnel rationale.
 
     ``mesh=True`` (CLI ``--mesh``) builds a window-sharding mesh over all
     local chips at startup; requests whose record exceeds the
@@ -250,7 +303,7 @@ def run(
             if req.get("cmd") == "ping":
                 resp = {"ok": True, "checkpoint": ckpt_name}
             else:
-                resp = _handle(req, ctx)
+                resp = _handle_with_deadline(req, ctx, timeout)
                 served += 1
         except Exception as e:  # per-request isolation
             resp = {"error": f"{type(e).__name__}: {e}"}

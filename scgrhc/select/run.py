@@ -189,7 +189,23 @@ def _reverify_near_ties(params, scores, start_time: float) -> list[dict]:
 def _restore_reverify_backups(params) -> None:
     """Heal a hard kill mid near-tie re-verify: any stacked CSV parked in
     the backup dir whose comparison CSV is missing is restored before
-    scoring, so the candidate set is always complete."""
+    scoring, so the candidate set is always complete.
+
+    Single-writer on pods (ADVICE r4): only the primary touches the
+    shared filesystem; everyone else waits at the barrier so scoring
+    starts from the healed state on every process."""
+    from scgrhc.parallel import comm
+
+    if not comm.is_primary():
+        comm.barrier("select_restore_bak")
+        return
+    try:
+        _restore_reverify_backups_primary(params)
+    finally:
+        comm.barrier("select_restore_bak")
+
+
+def _restore_reverify_backups_primary(params) -> None:
     comp_dir = os.path.join(params.comparison_dir_path, "valid")
     bak_dir = comp_dir + ".reverify_bak"
     if not os.path.isdir(bak_dir):

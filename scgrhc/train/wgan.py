@@ -143,11 +143,18 @@ def _masked_mean(v, mask):
     return jnp.sum(per_sample * m) / jnp.sum(m)
 
 
+def _stat_dtype(x):
+    """Reduction dtype: float32 normally (bf16 reductions of ~750·C terms
+    lose the signal), float64 when the computation is already f64 (the f64
+    oracle tests under ``jax_enable_x64`` — production never sees f64)."""
+    return jnp.float64 if x.dtype == jnp.dtype(jnp.float64) else jnp.float32
+
+
 def _gp_norms(grads):
     """Per-sample ℓ2 of the interpolant gradient, reduced in float32
     (bf16 squares of ~750·C terms would lose the penalty's signal)."""
     b = grads.shape[0]
-    g32 = grads.astype(jnp.float32).reshape(b, -1)
+    g32 = grads.astype(_stat_dtype(grads)).reshape(b, -1)
     return jnp.sqrt(jnp.sum(jnp.square(g32), axis=1) + 1e-12)
 
 
@@ -266,7 +273,7 @@ def critic_loss(
         cfg.critic_backend,
     )
     loss = -real_mean + pred_mean + cfg.lambda_gp * gp
-    return loss.astype(jnp.float32)
+    return loss.astype(_stat_dtype(loss))
 
 
 def generator_loss(
@@ -290,14 +297,15 @@ def generator_loss(
         d_params, jnp.concatenate((scg, adv_input), axis=1), cfg.remat,
         backend=cfg.critic_backend,
     )
-    sq = jnp.square((pred_rhc - rhc).astype(jnp.float32))
+    resid = pred_rhc - rhc
+    sq = jnp.square(resid.astype(_stat_dtype(resid)))
     if mask is None:
         mse = jnp.mean(sq)
     else:
-        m = mask.astype(jnp.float32)
+        m = mask.astype(sq.dtype)
         mse = jnp.sum(jnp.mean(sq.reshape(sq.shape[0], -1), axis=1) * m) / jnp.sum(m)
     loss = -_masked_mean(pred_validity, mask) + cfg.lambda_aux * mse
-    return loss.astype(jnp.float32)
+    return loss.astype(_stat_dtype(loss))
 
 
 def _train_step_impl(state: TrainState, scg, rhc, rng, cfg: TrainConfig, mask=None):

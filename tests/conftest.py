@@ -26,6 +26,24 @@ import scgrhc  # noqa: E402
 scgrhc.configure_compilation_cache()
 
 
+@pytest.fixture(autouse=True)
+def _pin_torch_threads():
+    """Single-thread every torch oracle (VERDICT r4 weak #1).
+
+    torch's intra-op parallelism partitions reductions by thread count,
+    so under host contention its f32 reduction ORDER shifts and oracle
+    comparisons drift past tight tolerances (measured: 3.4e-4 vs an
+    1e-4 GP tolerance with a busy core).  Pinning to one thread makes
+    every torch reference value bit-deterministic regardless of load.
+    Lazy — only touches torch if some test already imported it."""
+    import sys
+
+    t = sys.modules.get("torch")
+    if t is not None and t.get_num_threads() != 1:
+        t.set_num_threads(1)
+    yield
+
+
 @pytest.fixture(scope="session")
 def synth_db(tmp_path_factory):
     """Session-scoped synthetic database; returns its processed_data dir."""

@@ -474,9 +474,17 @@ def test_eval_stack_oom_auto_degrade(exp_dir, g_setup, monkeypatch, capsys):
 def test_eval_oom_detector():
     from scgrhc.eval.run import _is_oom
 
+    class XlaRuntimeError(RuntimeError):
+        pass
+
     assert _is_oom(RuntimeError("RESOURCE_EXHAUSTED: Ran out of memory in memory space hbm"))
-    assert _is_oom(RuntimeError("Allocation failure: Out of memory allocating 16g"))
+    assert _is_oom(XlaRuntimeError("Allocation failure: Out of memory allocating 16g"))
+    assert _is_oom(RuntimeError("Out of memory allocating 16g in hbm"))
     assert not _is_oom(ValueError("shape mismatch"))
+    # ADVICE r4: a non-XLA exception that merely mentions memory must
+    # SURFACE, not silently halve eval_stack
+    assert not _is_oom(MemoryError("loader ran out of memory"))
+    assert not _is_oom(RuntimeError("subprocess said: out of memory"))
 
 
 def test_select_near_tie_guard_reverifies_serially(exp_dir, monkeypatch, capsys):

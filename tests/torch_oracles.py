@@ -12,6 +12,11 @@ import torch
 import torch.nn as nn
 import torch.nn.functional as F
 
+# Oracle values must be bit-deterministic under host load: multithreaded
+# torch partitions f32 reductions by thread count, shifting reduction order
+# (VERDICT r4 weak #1 — a 3.4e-4 GP drift under a busy core).
+torch.set_num_threads(1)
+
 
 def conv_block(i, o):
     return nn.Sequential(
