@@ -18,7 +18,7 @@ import numpy as np
 
 from scgrhc.eval import metrics
 from scgrhc.models import generator
-from scgrhc.parallel.mesh import place_global
+from scgrhc.parallel.mesh import fetch_global, place_global
 
 
 def _chunk_scores_impl(g_params, scg, rhc, mm_rhc, dtype: str):
@@ -122,8 +122,8 @@ def predict_split(
             mm_c = place_global(mm_c, sharding)
         y, sc = _chunk_scores(g_params, scg, rhc, mm_c, dtype)
         keep = e - s
-        ys.append(np.asarray(y[:keep]))
-        scores.append({k: np.asarray(v[:keep]) for k, v in sc.items()})
+        ys.append(fetch_global(y[:keep]))
+        scores.append({k: fetch_global(v[:keep]) for k, v in sc.items()})
 
     real = (host_real(store) if n
             else np.zeros((0, store.segment_samples), np.float32))
@@ -202,8 +202,8 @@ def predict_split_multi(
                 mm_c = place_global(mm_c, sharding)
             ys, sc = _chunk_scores_stacked(stacked, scg, rhc, mm_c, dtype)
             keep = e - s
-            yss.append(np.asarray(ys[:, :keep]))
-            scs.append({kk: np.asarray(v[:, :keep]) for kk, v in sc.items()})
+            yss.append(fetch_global(ys[:, :keep]))
+            scs.append({kk: fetch_global(v[:, :keep]) for kk, v in sc.items()})
 
         preds = np.concatenate(yss, axis=1)  # (stack, N, T)
         merged = {

