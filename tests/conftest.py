@@ -9,15 +9,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"  # override axon/TPU: tests run on CPU mesh
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-if "xla_backend_optimization_level" not in flags:
-    # The quick tier's floor is per-test XLA:CPU compile time (the
-    # persistent cache is unusable in this plugin-present environment,
-    # scgrhc/__init__.py) — backend opt level 0 cuts a WGAN-step compile
-    # ~24% CPU-time (measured A/B, BENCH.md "Quick test tier") with
-    # negligible runtime cost at test shapes.  Numerics: identity tests
-    # compare XLA-vs-XLA under the SAME flags, and oracle tolerances
-    # carry reduction-order margins (the strict ones run in f64).
-    flags = (flags + " --xla_backend_optimization_level=0").strip()
+# NOT set: --xla_backend_optimization_level=0.  Measured full-tier A/B
+# (BENCH.md "Quick test tier", round 5): it cuts a single WGAN-step
+# compile ~24% CPU-time but the slower generated code costs MORE across
+# the runtime-heavy tests — 454 s vs 381 s for the identical tier.
 os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402

@@ -76,6 +76,7 @@ def test_bench_eval_mode():
     assert rec["eval_batch"] == 256  # knob default
 
 
+@pytest.mark.slow
 def test_bench_eval_mode_eval_batch():
     """--eval-batch shapes the chunking (BENCH.md stack×batch matrix)."""
     rec = _run_mode(["--mode", "eval", "--ckpts", "3", "--segments", "8",

@@ -84,6 +84,7 @@ def test_predict_continuous_mode(exp_with_ckpt):
     assert meta["mode"] == "continuous"
 
 
+@pytest.mark.slow
 def test_predict_calibrated(exp_with_ckpt, use_synth_db):
     """--calibrate denormalizes with the train cohort's joint RHC range."""
     from scgrhc.data.loaders import SegmentLoader

@@ -71,6 +71,7 @@ def test_serve_predicts_and_saves(exp_with_ckpt):
     assert len(resp) == 2  # nothing answered after quit
 
 
+@pytest.mark.slow
 def test_serve_matches_predict_stage(exp_with_ckpt):
     from scgrhc.pipeline import predict
 
@@ -192,7 +193,11 @@ def test_serve_rejects_bad_overlap(exp_with_ckpt):
         exp_with_ckpt,
         [{"record": "SYN000", "save": False, "overlap_s": 1.5},
          {"record": "SYN000", "save": False, "overlap_s": 2.0},
-         {"record": "SYN000", "save": False, "overlap_s": 0.5}],
+         # overlap 0 on purpose: proves the daemon survived without
+         # compiling a fresh overlapped-hop program (the overlapped
+         # happy path is covered by test_predict.py's overlap test,
+         # slow tier, and the stream blend tests in test_parallel.py)
+         {"record": "SYN000", "save": False, "overlap_s": 0}],
     )
     assert "error" in resp[0] and "overlap" in resp[0]["error"]
     assert "error" in resp[1] and "overlap" in resp[1]["error"]
